@@ -1,0 +1,98 @@
+"""Semantic-ID tuple dedup and diversity statistics, sort-based.
+
+Reference semantics (modules/tokenizer/semids.py:92-108): the dedup column
+for corpus item i is the number of EARLIER corpus items (j < i) whose full
+L-level semantic-ID tuple is identical. The reference computes this with an
+O(N^2) pairwise-equality broadcast per 512-item batch; here we pack each
+tuple into a single integer key and use one O(N log N) sort — corpus order
+is preserved as the sort tiebreaker so counts match exactly.
+
+Also hosts the diversity diagnostics from train_rqvae.py:272-292:
+tuple-distribution entropy, per-level codebook usage, max duplicate count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def id_bits(codebook_size: int) -> int:
+    """Bits needed per level."""
+    return max(1, (int(codebook_size) - 1).bit_length())
+
+
+def pack_sem_id_tuples(sem_ids: jax.Array, codebook_size: int) -> jax.Array:
+    """Pack [..., L] tuples of IDs in [0, K) into unique integer keys.
+
+    Level 0 occupies the most-significant bits so key order is lexicographic
+    tuple order — which makes the same keys reusable for sorted-prefix
+    (trie) lookups in constrained beam search.
+
+    Uses int32 when L * bits <= 31 (the flagship config 3x256 needs 24 bits);
+    falls back to int64 when JAX x64 is enabled.
+    """
+    L = sem_ids.shape[-1]
+    bits = id_bits(codebook_size)
+    if L * bits <= 31:
+        dtype = jnp.int32
+    elif L * bits <= 62 and jax.config.jax_enable_x64:
+        dtype = jnp.int64
+    else:
+        raise ValueError(
+            f"Cannot pack {L} levels x {bits} bits "
+            f"(x64 enabled: {jax.config.jax_enable_x64})"
+        )
+    ids = sem_ids.astype(dtype)
+    key = jnp.zeros(sem_ids.shape[:-1], dtype=dtype)
+    for l in range(L):
+        key = (key << bits) | ids[..., l]
+    return key
+
+
+@jax.jit
+def dedup_counts_from_keys(keys: jax.Array) -> jax.Array:
+    """dedup[i] = #{j < i : keys[j] == keys[i]} via one stable sort."""
+    n = keys.shape[0]
+    order = jnp.argsort(keys, stable=True)  # stable -> ties keep corpus order
+    sorted_keys = keys[order]
+    idx = jnp.arange(n)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
+    # Segment start position, propagated forward with a running max.
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    rank_in_run = idx - seg_start
+    dedup = jnp.zeros(n, dtype=jnp.int32).at[order].set(rank_in_run.astype(jnp.int32))
+    return dedup
+
+
+def dedup_counts(sem_ids: jax.Array, codebook_size: int) -> jax.Array:
+    """[N, L] tuples -> [N] counts of earlier duplicates."""
+    return dedup_counts_from_keys(pack_sem_id_tuples(sem_ids, codebook_size))
+
+
+@jax.jit
+def tuple_entropy(keys: jax.Array) -> jax.Array:
+    """Entropy of the empirical tuple distribution, -sum p log p.
+
+    Matches train_rqvae.py:278-282 (torch.unique + counts)."""
+    n = keys.shape[0]
+    sorted_keys = jnp.sort(keys)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
+    run_id = jnp.cumsum(is_start) - 1
+    counts = jax.ops.segment_sum(jnp.ones(n), run_id, num_segments=n)
+    p = counts / n
+    return -jnp.sum(jnp.where(counts > 0, p * jnp.log(p), 0.0))
+
+
+@partial(jax.jit, static_argnames=("codebook_size",))
+def codebook_usage(sem_ids: jax.Array, codebook_size: int) -> jax.Array:
+    """Fraction of codebook entries used per level -> [L].
+
+    Matches train_rqvae.py:284-288."""
+    def usage_one(ids_l):
+        counts = jnp.bincount(ids_l, length=codebook_size)
+        return jnp.mean((counts > 0).astype(jnp.float32))
+
+    return jax.vmap(usage_one, in_axes=1)(sem_ids)

@@ -34,24 +34,54 @@ def _pairwise_sq_dists(x: jax.Array, c: jax.Array) -> jax.Array:
     return x2 + c2[None, :] - 2.0 * (x @ c.T)
 
 
-@partial(jax.jit, static_argnames=("k", "max_iters"))
+def _kmeanspp_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
+    """k-means++ seeding (Arthur & Vassilvitskii 2007): each next centroid is
+    a data point sampled with probability proportional to its squared
+    distance from the closest centroid chosen so far. Improves on the
+    reference's plain random choice (kmeans.py:33-37) — fewer local optima."""
+    B, _ = x.shape
+    k0, kl = jax.random.split(key)
+    idx0 = jax.random.randint(k0, (), 0, B)
+    c0 = x[idx0]
+    centroids = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(c0)
+    mind = jnp.sum((x - c0) ** 2, axis=-1)
+
+    def body(i, state):
+        centroids, mind = state
+        ki = jax.random.fold_in(kl, i)
+        idx = jax.random.categorical(ki, jnp.log(jnp.maximum(mind, 1e-30)))
+        c = x[idx]
+        centroids = centroids.at[i].set(c)
+        mind = jnp.minimum(mind, jnp.sum((x - c) ** 2, axis=-1))
+        return centroids, mind
+
+    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, mind))
+    return centroids
+
+
+@partial(jax.jit, static_argnames=("k", "max_iters", "init"))
 def kmeans(
     key: jax.Array,
     x: jax.Array,
     k: int,
     max_iters: int = 100,
     stop_threshold: float = 1e-10,
+    init: str = "kmeans++",
 ) -> KmeansOutput:
     """Run Lloyd's algorithm on `x` [B, D] with `k` clusters.
 
-    Initial centroids are `k` distinct points sampled without replacement.
+    init="kmeans++" (default) uses D^2-weighted seeding; init="random"
+    matches the reference's distinct-point random choice (kmeans.py:33-37).
     Empty clusters are reseeded with a random data point each iteration.
     """
     B, D = x.shape
     x = x.astype(jnp.float32)
     init_key, loop_key = jax.random.split(key)
-    init_idx = jax.random.permutation(init_key, B)[:k]
-    centroids0 = x[init_idx]
+    if init == "kmeans++":
+        centroids0 = _kmeanspp_init(init_key, x, k)
+    else:
+        init_idx = jax.random.permutation(init_key, B)[:k]
+        centroids0 = x[init_idx]
 
     def assign(c):
         d = _pairwise_sq_dists(x, c)

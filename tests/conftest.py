@@ -1,5 +1,10 @@
 """Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding paths are exercised without TPU hardware (standard JAX technique)."""
+sharding paths are exercised without TPU hardware (standard JAX technique).
+
+NOTE: this environment pre-imports jax before pytest starts, so setting
+JAX_PLATFORMS / XLA_FLAGS env vars here is too late — use the config API
+instead (works until the backend is first initialized).
+"""
 
 import os
 
@@ -7,3 +12,8 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

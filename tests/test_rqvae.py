@@ -1,0 +1,276 @@
+"""RQ-VAE model tests: quantize estimators (values + gradients), residual
+identities, k-means init, and a train-step smoke test (loss decreases)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rqvae_tpu.models.quantize import (
+    QuantizeDistance,
+    QuantizeForwardMode,
+    codebook_distances,
+    efficient_rotation_trick_transform,
+    quantize_forward,
+)
+from rqvae_tpu.models.rqvae import RqVae, RqVaeConfig, kmeans_init_codebooks
+from rqvae_tpu.train.rqvae_steps import make_rqvae_eval_step, make_rqvae_train_step
+from rqvae_tpu.train.state import TrainState, adamw
+
+
+def _rand(shape, seed=0):
+    return jnp.array(np.random.RandomState(seed).randn(*shape).astype(np.float32))
+
+
+class TestQuantizeForward:
+    def setup_method(self):
+        self.x = _rand((8, 16), 0)
+        self.cb = _rand((32, 16), 1)
+
+    def test_l2_distance_matches_bruteforce(self):
+        d = np.asarray(codebook_distances(self.x, self.cb, QuantizeDistance.L2))
+        brute = ((np.asarray(self.x)[:, None] - np.asarray(self.cb)[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d, brute, atol=1e-3)
+
+    def test_cosine_distance(self):
+        d = np.asarray(codebook_distances(self.x, self.cb, QuantizeDistance.COSINE))
+        xn = np.asarray(self.x) / np.linalg.norm(self.x, axis=1, keepdims=True)
+        cn = np.asarray(self.cb) / np.linalg.norm(self.cb, axis=1, keepdims=True)
+        np.testing.assert_allclose(d, -(xn @ cn.T), atol=1e-5)
+
+    def test_eval_path_hard_lookup(self):
+        out = quantize_forward(self.x, self.cb, mode=QuantizeForwardMode.STE, training=False)
+        d = ((np.asarray(self.x)[:, None] - np.asarray(self.cb)[None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(out.ids), d.argmin(1))
+        np.testing.assert_allclose(np.asarray(out.embeddings), np.asarray(self.cb)[d.argmin(1)])
+
+    def test_ste_forward_and_gradient(self):
+        out = quantize_forward(self.x, self.cb, mode=QuantizeForwardMode.STE, training=True)
+        # forward equals hard lookup
+        np.testing.assert_allclose(
+            np.asarray(out.embeddings), np.asarray(self.cb)[np.asarray(out.ids)], atol=1e-6
+        )
+
+        # gradient w.r.t. x of sum(emb_out) is identity (straight-through)
+        def f(x):
+            return quantize_forward(x, self.cb, mode=QuantizeForwardMode.STE, training=True).embeddings.sum()
+
+        g = jax.grad(f)(self.x)
+        np.testing.assert_allclose(np.asarray(g), np.ones_like(g), atol=1e-6)
+
+    def test_gumbel_near_zero_temperature_is_hard(self):
+        out = quantize_forward(
+            self.x,
+            self.cb,
+            mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
+            training=True,
+            temperature=1e-4,
+            key=jax.random.PRNGKey(0),
+        )
+        # At tiny temperature the convex combination collapses onto a single
+        # (gumbel-sampled) codeword for every row.
+        emb = np.asarray(out.embeddings)
+        cb = np.asarray(self.cb)
+        dist_to_any = np.min(((emb[:, None] - cb[None]) ** 2).sum(-1), axis=1)
+        assert (dist_to_any < 1e-3).all()
+
+    def test_gumbel_gradients_flow_to_codebook(self):
+        def f(cb):
+            return quantize_forward(
+                self.x,
+                cb,
+                mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
+                training=True,
+                temperature=0.5,
+                key=jax.random.PRNGKey(1),
+            ).embeddings.sum()
+
+        g = jax.grad(f)(self.cb)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_gumbel_requires_key(self):
+        with pytest.raises(ValueError):
+            quantize_forward(
+                self.x, self.cb, mode=QuantizeForwardMode.GUMBEL_SOFTMAX, training=True
+            )
+
+    def test_rotation_trick_value_oracle(self):
+        # numpy oracle of reference quantize.py:34-50 + 140-153
+        x = np.asarray(self.x)
+        cb = np.asarray(self.cb)
+        out = quantize_forward(self.x, self.cb, mode=QuantizeForwardMode.ROTATION_TRICK, training=True)
+        ids = np.asarray(out.ids)
+        emb = cb[ids]
+        u = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-8)
+        q = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
+        w = u + q
+        w = w / np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1e-6)
+        e = x
+        rot = e - 2 * (e * w).sum(1, keepdims=True) * w + 2 * (e * u).sum(1, keepdims=True) * q
+        scale = np.linalg.norm(emb, axis=1, keepdims=True) / (
+            np.linalg.norm(x, axis=1, keepdims=True) + 1e-6
+        )
+        np.testing.assert_allclose(np.asarray(out.embeddings), rot * scale, atol=1e-4)
+        # The rotation maps x onto the codeword direction: output ~ emb
+        np.testing.assert_allclose(np.asarray(out.embeddings), emb, atol=1e-3)
+
+    def test_rotation_transform_linear_in_e(self):
+        # With u, q fixed the transform is linear in e, so jvp == finite diff.
+        u = _rand((4, 8), 2)
+        q = _rand((4, 8), 3)
+        e = _rand((4, 8), 4)
+        de = 1e-3 * _rand((4, 8), 5)
+        f = lambda ee: efficient_rotation_trick_transform(u, q, ee)
+        _, jvp = jax.jvp(f, (e,), (de,))
+        fd = f(e + de) - f(e)
+        np.testing.assert_allclose(np.asarray(jvp), np.asarray(fd), atol=1e-5)
+
+    def test_quantize_loss_matches_formula(self):
+        out = quantize_forward(
+            self.x, self.cb, mode=QuantizeForwardMode.STE, training=True, commitment_weight=0.25
+        )
+        emb = np.asarray(self.cb)[np.asarray(out.ids)]
+        expected = (1 + 0.25) * ((np.asarray(self.x) - emb) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(out.loss), expected, rtol=1e-4)
+
+
+CFG = RqVaeConfig(
+    input_dim=24,
+    embed_dim=8,
+    hidden_dims=(16, 12),
+    codebook_size=16,
+    n_layers=3,
+    n_cat_feats=0,
+    codebook_mode=QuantizeForwardMode.STE,
+)
+
+
+def _init(cfg=CFG, seed=0, batch=32):
+    model = RqVae(cfg)
+    x = _rand((batch, cfg.input_dim), seed)
+    params = model.init(
+        {"params": jax.random.PRNGKey(seed), "gumbel": jax.random.PRNGKey(seed + 1)},
+        x,
+        0.2,
+        training=True,
+    )
+    return model, params, x
+
+
+class TestRqVae:
+    def test_shapes(self):
+        model, params, x = _init()
+        out = model.apply(params, x, training=False, method=RqVae.get_semantic_ids)
+        assert out.sem_ids.shape == (32, 3)
+        assert out.embeddings.shape == (32, 3, 8)
+        assert out.residuals.shape == (32, 3, 8)
+        assert out.quantize_loss.shape == (32,)
+        assert out.sem_ids.dtype == jnp.int32
+        assert (np.asarray(out.sem_ids) >= 0).all() and (np.asarray(out.sem_ids) < 16).all()
+
+    def test_residual_telescoping_identity(self):
+        # eval path: encoder output == sum of quantized embs + final residual
+        model, params, x = _init()
+        out = model.apply(params, x, training=False, method=RqVae.get_semantic_ids)
+        enc = model.apply(params, x, training=False, method=RqVae.encode)
+        final_res = out.residuals[:, -1] - out.embeddings[:, -1]
+        np.testing.assert_allclose(
+            np.asarray(enc), np.asarray(out.embeddings.sum(1) + final_res), atol=1e-5
+        )
+
+    def test_forward_losses(self):
+        model, params, x = _init()
+        out = model.apply(
+            params, x, 0.2, training=True, rngs={"gumbel": jax.random.PRNGKey(3)}
+        )
+        assert np.isfinite(float(out.loss))
+        assert float(out.p_unique_ids) <= 1.0
+        assert out.embs_norm.shape == (32, 3)
+
+    def test_p_unique_matches_bruteforce(self):
+        model, params, x = _init()
+        out = model.apply(params, x, 0.2, training=False)
+        ids = np.asarray(
+            model.apply(params, x, training=False, method=RqVae.get_semantic_ids).sem_ids
+        )
+        distinct = len({tuple(r) for r in ids})
+        assert float(out.p_unique_ids) == pytest.approx(distinct / ids.shape[0])
+
+    def test_categorical_path_normalizes_dense_slice(self):
+        cfg = RqVaeConfig(
+            input_dim=24,
+            embed_dim=8,
+            hidden_dims=(16,),
+            codebook_size=8,
+            n_layers=2,
+            n_cat_feats=4,
+            codebook_mode=QuantizeForwardMode.STE,
+        )
+        model, params, x = _init(cfg, seed=7)
+        out = model.apply(params, x, 0.2, training=True, rngs={"gumbel": jax.random.PRNGKey(0)})
+        assert np.isfinite(float(out.loss))
+
+    def test_kmeans_init_improves_quantization(self):
+        model, params, x = _init(batch=256)
+        out0 = model.apply(params, x, training=False, method=RqVae.get_semantic_ids)
+        params2 = kmeans_init_codebooks(jax.random.PRNGKey(0), model, params, x)
+        out1 = model.apply(params2, x, training=False, method=RqVae.get_semantic_ids)
+        # kmeans init should cut the quantization loss massively vs U(0,1) init
+        assert float(out1.quantize_loss.mean()) < 0.5 * float(out0.quantize_loss.mean())
+
+    @pytest.mark.parametrize(
+        "mode",
+        [
+            QuantizeForwardMode.STE,
+            QuantizeForwardMode.GUMBEL_SOFTMAX,
+            QuantizeForwardMode.ROTATION_TRICK,
+        ],
+    )
+    def test_train_step_decreases_loss(self, mode):
+        cfg = RqVaeConfig(
+            input_dim=24,
+            embed_dim=8,
+            hidden_dims=(16, 12),
+            codebook_size=16,
+            n_layers=3,
+            n_cat_feats=0,
+            codebook_mode=mode,
+        )
+        model, params, x = _init(cfg, seed=1, batch=64)
+        params = kmeans_init_codebooks(jax.random.PRNGKey(5), model, params, x)
+        tx = adamw(1e-3, weight_decay=0.01)
+        state = TrainState.create(params, tx)
+        train_step = make_rqvae_train_step(model, tx)
+        xb = x[None]  # one micro-batch
+        first = None
+        for i in range(150):
+            state, metrics = train_step(state, xb, jax.random.PRNGKey(i), jnp.float32(0.2))
+            if first is None:
+                first = float(metrics["reconstruction_loss"])
+        last = float(metrics["reconstruction_loss"])
+        assert np.isfinite(float(metrics["total_loss"]))
+        # Reconstruction must improve; total loss has an early commitment-loss
+        # transient (codebook drift), so recon is the stable signal.
+        assert last < first, f"{mode}: {first} -> {last}"
+
+    def test_grad_accumulation_equals_big_batch(self):
+        # 2 micro-batches of 16 == 1 batch of 32 for STE (no rng in fwd path)
+        model, params, x = _init(batch=32)
+        tx = adamw(1e-3)
+        # copy params up front: train_step donates its state argument
+        state2 = TrainState.create(jax.tree_util.tree_map(jnp.copy, params), tx)
+        state = TrainState.create(params, tx)
+        step = make_rqvae_train_step(model, tx)
+        s1, m1 = step(state, x[None], jax.random.PRNGKey(0), jnp.float32(0.2))
+
+        xa = x.reshape(2, 16, -1)
+        s2, m2 = step(state2, xa, jax.random.PRNGKey(0), jnp.float32(0.2))
+        # metric averages match the big batch (loss is mean over examples)
+        assert float(m2["total_loss"]) == pytest.approx(float(m1["total_loss"]), rel=1e-4)
+
+    def test_eval_step(self):
+        model, params, x = _init()
+        eval_step = make_rqvae_eval_step(model)
+        out = eval_step(params, x, jnp.float32(0.2))
+        assert set(out) == {"eval_total_loss", "eval_reconstruction_loss", "eval_rqvae_loss"}
+        assert np.isfinite(float(out["eval_total_loss"]))

@@ -1,0 +1,58 @@
+"""Dataset registry.
+
+Reference parity: /root/reference/data/processed.py:18-36 (RecDataset enum
+and the per-dataset max sequence lengths). Adds SYNTHETIC for hermetic
+end-to-end runs.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+
+
+class RecDataset(enum.Enum):
+    AMAZON = 1
+    ML_1M = 2
+    ML_32M = 3
+    SYNTHETIC = 4
+
+
+DATASET_MAX_SEQ_LEN = {
+    RecDataset.AMAZON: 20,
+    RecDataset.ML_1M: 200,
+    RecDataset.ML_32M: 200,
+    RecDataset.SYNTHETIC: None,  # taken from the generated file
+}
+
+
+def ensure_dataset(root: str, dataset: RecDataset, split: str | None = None, force: bool = False) -> dict:
+    """Load (and if necessary produce) the processed npz for a dataset.
+
+    SYNTHETIC auto-generates on first use. Real datasets must have been
+    preprocessed by their pipeline CLIs (rqvae_tpu.data.amazon / ml1m /
+    ml32m) — network downloads cannot run in hermetic environments.
+    """
+    from rqvae_tpu.data.datasets import load_processed
+
+    path = os.path.join(root, "processed", "data.npz")
+    if force or not os.path.exists(path):
+        if dataset == RecDataset.SYNTHETIC:
+            from rqvae_tpu.data.synthetic import generate_and_save
+
+            generate_and_save(root)
+        elif dataset == RecDataset.AMAZON:
+            from rqvae_tpu.data.amazon import process_amazon
+
+            process_amazon(root, split=split or "beauty")
+        elif dataset == RecDataset.ML_1M:
+            from rqvae_tpu.data.ml1m import process_ml1m
+
+            process_ml1m(root)
+        elif dataset == RecDataset.ML_32M:
+            from rqvae_tpu.data.ml32m import process_ml32m
+
+            process_ml32m(root)
+        else:
+            raise ValueError(f"Unknown dataset {dataset}")
+    return load_processed(root)

@@ -1,0 +1,131 @@
+"""Semantic-ID tokenizer: full-corpus index build + sequence lookup.
+
+Reference parity: /root/reference/modules/tokenizer/semids.py
+- precompute_corpus_ids (semids.py:76-110): tokenize every corpus item with
+  the frozen RQ-VAE and append a dedup column = count of earlier items with
+  an identical L-tuple. The reference loops 512-item batches sequentially
+  and does O(N^2) pairwise compares; here the whole corpus is tokenized in
+  one jit (lax.map over fixed-size chunks, so it scales past VMEM) and the
+  dedup column is a single O(N log N) sort (ops/dedup.py) with corpus order
+  as the tiebreaker — semantics match exactly.
+- forward/_tokenize_seq_batch_from_cached (semids.py:119-146): sequence
+  tokenization is a table lookup, flattening [B, N] item ids to
+  [B, N*(L+1)] semantic ids with -1 at padding, plus token_type_ids.
+
+This is the "items/sec tokenized" benchmark path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data.schemas import SeqBatch, TokenizedSeqBatch
+from rqvae_tpu.models.rqvae import RqVae
+from rqvae_tpu.ops.dedup import dedup_counts_from_keys, pack_sem_id_tuples
+
+
+class SemanticIdTokenizer:
+    """Owns a frozen RQ-VAE (params) and the cached corpus-ID table."""
+
+    def __init__(
+        self,
+        model: RqVae,
+        params,
+        tokenize_batch_size: int = 8192,
+        sharding: Optional[jax.sharding.Sharding] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenize_batch_size = tokenize_batch_size
+        self.sharding = sharding
+        self.cached_ids: Optional[jax.Array] = None  # [N, L+1]
+
+        cfg = model.config
+
+        @jax.jit
+        def _encode_chunk(params, x):
+            out = model.apply(params, x, training=False, method=RqVae.get_semantic_ids)
+            return out.sem_ids  # [b, L]
+
+        self._encode_chunk = _encode_chunk
+
+        @jax.jit
+        def _corpus_ids(params, x_chunks):  # [nb, b, D]
+            ids = jax.lax.map(lambda x: _encode_chunk(params, x), x_chunks)
+            return ids.reshape(-1, cfg.n_layers)
+
+        self._corpus_ids = _corpus_ids
+
+    @property
+    def n_layers(self) -> int:
+        return self.model.config.n_layers
+
+    @property
+    def sem_ids_dim(self) -> int:
+        """Tokens per item including the dedup column (semids.py:73-74)."""
+        return self.n_layers + 1
+
+    def reset(self) -> None:
+        self.cached_ids = None
+
+    def encode_batch(self, x: jax.Array) -> jax.Array:
+        """[B, D] features -> [B, L] semantic ids (no dedup column)."""
+        return self._encode_chunk(self.params, x)
+
+    def precompute_corpus_ids(self, item_features: np.ndarray) -> jax.Array:
+        """Tokenize the whole corpus and build the dedup'd ID table [N, L+1]."""
+        n = item_features.shape[0]
+        b = min(self.tokenize_batch_size, n)
+        n_pad = (n + b - 1) // b * b
+        x = np.zeros((n_pad, item_features.shape[1]), np.float32)
+        x[:n] = item_features
+        x_chunks = jnp.asarray(x.reshape(-1, b, item_features.shape[1]))
+
+        ids = self._corpus_ids(self.params, x_chunks)[:n]  # [N, L]
+        keys = pack_sem_id_tuples(ids, self.model.config.codebook_size)
+        dedup = dedup_counts_from_keys(keys)
+        self.cached_ids = jnp.concatenate([ids, dedup[:, None].astype(ids.dtype)], axis=1)
+        return self.cached_ids
+
+    def __call__(self, batch: SeqBatch) -> TokenizedSeqBatch:
+        """Tokenize a sequence batch by cached-table lookup (semids.py:119-146)."""
+        if self.cached_ids is None:
+            raise RuntimeError("Call precompute_corpus_ids before tokenizing sequences")
+        return _tokenize_from_cache(
+            self.cached_ids,
+            batch.user_ids,
+            jnp.asarray(batch.ids),
+            jnp.asarray(batch.ids_fut),
+            jnp.asarray(batch.seq_mask),
+        )
+
+
+@jax.jit
+def _tokenize_from_cache(
+    cached_ids: jax.Array,  # [N, D] with D = L+1
+    user_ids: jax.Array,  # [B]
+    ids: jax.Array,  # [B, N_seq] -1 padded
+    ids_fut: jax.Array,  # [B]
+    seq_mask: jax.Array,  # [B, N_seq] bool
+) -> TokenizedSeqBatch:
+    B, N_seq = ids.shape
+    D = cached_ids.shape[1]
+    sem = cached_ids[jnp.clip(ids, 0)]  # [B, N_seq, D]
+    mask = jnp.repeat(seq_mask, D, axis=1)  # [B, N_seq*D]
+    sem_ids = jnp.where(mask, sem.reshape(B, N_seq * D), -1)
+    sem_ids_fut = cached_ids[jnp.clip(ids_fut, 0)].reshape(B, D)
+    token_type_ids = jnp.tile(jnp.arange(D, dtype=jnp.int32), (B, N_seq))
+    token_type_ids_fut = jnp.tile(jnp.arange(D, dtype=jnp.int32), (B, 1))
+    return TokenizedSeqBatch(
+        user_ids=user_ids,
+        sem_ids=sem_ids,
+        sem_ids_fut=sem_ids_fut,
+        seq_mask=mask,
+        token_type_ids=token_type_ids,
+        token_type_ids_fut=token_type_ids_fut,
+    )

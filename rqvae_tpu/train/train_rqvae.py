@@ -1,0 +1,242 @@
+"""Stage-1 trainer: RQ-VAE tokenizer training.
+
+Reference parity: /root/reference/train_rqvae.py — same knob surface
+(train_rqvae.py:24-55), k-means warm start on a <=20k-item sample at iter 0
+(:178-183), gradient accumulation (:186-195), 1000-sample rolling loss
+windows (:197-206), eval-loss cadence (:236-256), ID-diversity metrics
+(codebook usage / tuple entropy / max duplicates, :272-292), checkpoint +
+resume (:144-151, :258-270).
+
+TPU-first: one jitted train step (forward+backward+AdamW fused, donated
+state) over a ('data','model') mesh; the batch is sharded on 'data' and
+GSPMD inserts the gradient all-reduce. `amp=True` maps to bf16 matmuls
+(TPU-native; no loss scaling needed).
+
+CLI:  python -m rqvae_tpu.train.train_rqvae configs/rqvae_synthetic.gin
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data.datasets import ItemDataset
+from rqvae_tpu.data.registry import RecDataset, ensure_dataset
+from rqvae_tpu.models.quantize import QuantizeForwardMode
+from rqvae_tpu.models.rqvae import RqVae, RqVaeConfig, kmeans_init_codebooks
+from rqvae_tpu.ops.dedup import codebook_usage, pack_sem_id_tuples, tuple_entropy
+from rqvae_tpu.parallel import dist, mesh as mesh_lib
+from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
+from rqvae_tpu.train.rqvae_steps import make_rqvae_eval_step, make_rqvae_train_step
+from rqvae_tpu.train.state import TrainState, adamw
+from rqvae_tpu.utils import checkpoint as ckpt_lib
+from rqvae_tpu.utils.logging import MetricLogger
+
+
+def train(
+    iterations: int = 50000,
+    batch_size: int = 64,
+    learning_rate: float = 0.0001,
+    weight_decay: float = 0.01,
+    dataset_folder: str = "dataset/synthetic",
+    dataset: RecDataset = RecDataset.SYNTHETIC,
+    pretrained_rqvae_path: Optional[str] = None,
+    save_dir_root: str = "out/rqvae/",
+    use_kmeans_init: bool = True,
+    split_batches: bool = True,  # accepted for config parity; GSPMD shards globally
+    amp: bool = False,
+    wandb_logging: bool = False,
+    do_eval: bool = True,
+    force_dataset_process: bool = False,
+    mixed_precision_type: str = "bf16",  # fp16 configs map to bf16 on TPU
+    gradient_accumulate_every: int = 1,
+    save_model_every: int = 1_000_000,
+    eval_every: int = 50000,
+    commitment_weight: float = 0.25,
+    vae_n_cat_feats: int = 18,
+    vae_input_dim: int = 18,
+    vae_embed_dim: int = 16,
+    vae_hidden_dims: List[int] = [18, 18],
+    vae_codebook_size: int = 32,
+    vae_codebook_normalize: bool = False,
+    vae_codebook_mode: QuantizeForwardMode = QuantizeForwardMode.GUMBEL_SOFTMAX,
+    vae_sim_vq: bool = False,
+    vae_n_layers: int = 3,
+    dataset_split: str = "beauty",
+    gumbel_temperature: float = 0.2,  # reference hard-codes t=0.2 (train_rqvae.py:177)
+    seed: int = 0,
+    log_every: int = 100,
+    kmeans_init_samples: int = 20000,
+) -> dict:
+    """Returns a summary dict with final metrics and checkpoint path."""
+    dist.initialize_distributed()
+    mesh = mesh_lib.make_mesh()
+    is_main = dist.is_main_process()
+    if amp:
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+    data = ensure_dataset(dataset_folder, dataset, split=dataset_split, force=force_dataset_process)
+    train_items = ItemDataset(data, "train" if do_eval else "all")
+    eval_items = ItemDataset(data, "eval") if do_eval else None
+    index_items = ItemDataset(data, "all") if do_eval else train_items
+
+    cfg = RqVaeConfig(
+        input_dim=vae_input_dim,
+        embed_dim=vae_embed_dim,
+        hidden_dims=tuple(vae_hidden_dims),
+        codebook_size=vae_codebook_size,
+        n_layers=vae_n_layers,
+        commitment_weight=commitment_weight,
+        n_cat_feats=vae_n_cat_feats,
+        codebook_normalize=vae_codebook_normalize,
+        sim_vq=vae_sim_vq,
+        codebook_mode=vae_codebook_mode,
+    )
+    model = RqVae(cfg)
+    root_key = jax.random.PRNGKey(seed)
+    init_x = jnp.asarray(train_items.head(max(batch_size, 2)))
+    params = model.init(
+        {"params": root_key, "gumbel": jax.random.fold_in(root_key, 1)},
+        init_x,
+        gumbel_temperature,
+        training=True,
+    )
+
+    tx = adamw(learning_rate, weight_decay=weight_decay)
+    start_iter = 0
+    if pretrained_rqvae_path is not None:
+        state0 = TrainState.create(params, tx)
+        restored = ckpt_lib.load_checkpoint(
+            pretrained_rqvae_path, params_template=params, opt_state_template=state0.opt_state
+        )
+        params = restored["params"]
+        opt_state = restored.get("opt_state", state0.opt_state)
+        start_iter = restored["step"] + 1
+        print(f"---Loaded RQVAE iter {restored['step']}---")
+        state = TrainState(params, opt_state, jnp.asarray(start_iter, jnp.int32))
+    else:
+        if use_kmeans_init:
+            sample = train_items.head(kmeans_init_samples)
+            params = kmeans_init_codebooks(
+                jax.random.fold_in(root_key, 2), model, params, jnp.asarray(sample)
+            )
+        state = TrainState.create(params, tx)
+
+    # replicate state over the mesh; batches are sharded on the data axis
+    state = mesh_lib.replicate_pytree(mesh, state)
+    batch_sh = mesh_lib.batch_sharding(mesh, batch_axis=1)  # [A, B, D] -> B sharded
+
+    train_step = make_rqvae_train_step(model, tx)
+    eval_step = make_rqvae_eval_step(model)
+    tokenizer = SemanticIdTokenizer(model, state.params)
+
+    logger = MetricLogger(
+        log_dir=os.path.join(save_dir_root, "logs"),
+        use_wandb=wandb_logging,
+        wandb_project="rq-vae-training",
+        wandb_config={k: str(v) for k, v in locals().items() if isinstance(v, (int, float, str, bool))},
+        is_main=is_main,
+    )
+
+    rng = np.random.RandomState(seed)
+    t = gumbel_temperature
+    t_start = time.time()
+    summary: dict = {}
+    ckpt_path = None
+
+    for it in range(start_iter, start_iter + iterations):
+        xs = np.stack(
+            [train_items.sample_batch(rng, batch_size) for _ in range(gradient_accumulate_every)]
+        )
+        xs = jax.device_put(xs, batch_sh)
+        state, metrics = train_step(state, xs, jax.random.fold_in(root_key, 10_000 + it), jnp.float32(t))
+
+        if it % log_every == 0 or it == start_iter + iterations - 1:
+            host_metrics = {
+                k: float(v) for k, v in jax.device_get(metrics).items() if np.ndim(v) == 0
+            }
+            emb_norms = jax.device_get(metrics["emb_norms"])
+            host_metrics.update({f"emb_avg_norm_{i}": float(v) for i, v in enumerate(emb_norms)})
+            logger.push_rolling(
+                {k: host_metrics[k] for k in ("total_loss", "reconstruction_loss", "rqvae_loss")}
+            )
+            roll = {f"rolling_{k}": v for k, v in logger.rolling_means().items()}
+            logger.log(
+                it,
+                {**host_metrics, **roll, "temperature": t, "learning_rate": learning_rate},
+                echo=is_main and (it % (log_every * 10) == 0),
+            )
+            summary.update(host_metrics)
+
+        do_cadence = (it + 1) % eval_every == 0 or it + 1 == start_iter + iterations
+        if do_eval and do_cadence:
+            eval_metrics = _run_eval(eval_step, state.params, eval_items, batch_size, t)
+            diversity = _id_diversity_metrics(tokenizer, state.params, index_items, cfg)
+            logger.log(it, {**eval_metrics, **diversity}, echo=is_main)
+            summary.update(eval_metrics)
+            summary.update(diversity)
+
+        if is_main and ((it + 1) % save_model_every == 0 or it + 1 == start_iter + iterations):
+            ckpt_path = ckpt_lib.save_checkpoint(
+                save_dir_root, it, state.params, state.opt_state, cfg
+            )
+
+    summary["iterations_per_sec"] = iterations / max(time.time() - t_start, 1e-9)
+    summary["checkpoint_path"] = ckpt_path
+    logger.close()
+    return summary
+
+
+def _run_eval(eval_step, params, eval_items: ItemDataset, batch_size: int, t: float) -> dict:
+    n = len(eval_items)
+    sums, count = None, 0
+    for s in range(0, n, batch_size):
+        x = eval_items.features[s : s + batch_size]
+        if x.shape[0] < batch_size:  # pad to static shape, weight by true count
+            pad = np.repeat(x[:1], batch_size - x.shape[0], axis=0)
+            xp = np.concatenate([x, pad])
+        else:
+            xp = x
+        m = jax.device_get(eval_step(params, jnp.asarray(xp), jnp.float32(t)))
+        w = x.shape[0]
+        m = {k: float(v) * w for k, v in m.items()}
+        sums = m if sums is None else {k: sums[k] + m[k] for k in m}
+        count += w
+    return {k: v / max(count, 1) for k, v in (sums or {}).items()}
+
+
+def _id_diversity_metrics(
+    tokenizer: SemanticIdTokenizer, params, index_items: ItemDataset, cfg: RqVaeConfig
+) -> dict:
+    """Codebook usage / tuple entropy / max duplicate fraction
+    (reference train_rqvae.py:272-292)."""
+    tokenizer.params = params
+    tokenizer.reset()
+    cached = tokenizer.precompute_corpus_ids(index_items.features)
+    ids = cached[:, : cfg.n_layers]
+    keys = pack_sem_id_tuples(ids, cfg.codebook_size)
+    usage = jax.device_get(codebook_usage(ids, cfg.codebook_size))
+    out = {f"codebook_usage_{i}": float(u) for i, u in enumerate(usage)}
+    out["rqvae_entropy"] = float(tuple_entropy(keys))
+    out["max_id_duplicates"] = float(cached[:, -1].max()) / cached.shape[0]
+    return out
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    from rqvae_tpu.utils.config import apply_config
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1:
+        print("usage: python -m rqvae_tpu.train.train_rqvae <config.gin>", file=sys.stderr)
+        raise SystemExit(2)
+    apply_config(train, argv[0])
+
+
+if __name__ == "__main__":
+    main()

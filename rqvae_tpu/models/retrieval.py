@@ -1,0 +1,268 @@
+"""Retrieval model: T5-style encoder-decoder over semantic-ID sequences,
+with constrained beam-search generation.
+
+Reference parity: /root/reference/modules/model.py
+- shared SID embedding table with per-hierarchy offsets  (model.py:105-109,
+  129-148: token t of hierarchy h -> row h*K + t; padded positions are
+  zeroed by the mask so they hit row 0 but are attention-masked out)
+- learned BOS embedding and optional SEP token injected after each item's
+  L-token group                                           (model.py:97,150-167)
+- optional hashed user-ID embedding prepended             (model.py:111-112,201-212)
+- per-hierarchy linear heads                              (model.py:98-103)
+- training loss = sum over hierarchies of cross-entropy on teacher-forced
+  decoder states                                          (model.py:270-298)
+- generation: per level, score candidates by cumulative log-prob, mask
+  candidates whose prefix is absent from the corpus, keep top-k beams
+                                                          (model.py:300-391)
+
+TPU-first design decisions:
+- SEP injection is a static reshape/concat (no dynamic shapes).
+- Beam search is ONE jit with the L-level loop unrolled (L is static and
+  tiny); the decoder prefix is recomputed per level (<= L+1 tokens) instead
+  of reordering a KV cache (reference model.py:374-380).
+- Prefix validity is a binary search over sorted packed prefix keys
+  (serving/beam.py) instead of the O(N_corpus * B * k * n) equality
+  broadcast (model.py:169-182).
+- Two candidate modes: exhaustive top-k over all K codewords per level
+  (deterministic, default) and the reference's multinomial sampling of
+  n_candidates (model.py:314,345) with an explicit rng key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rqvae_tpu.data.schemas import TokenizedSeqBatch
+from rqvae_tpu.models.t5 import T5Stack, T5StackConfig
+from rqvae_tpu.serving.beam import PrefixTable, extend_keys, is_valid_prefix
+from rqvae_tpu.models.mlp import torch_linear_init
+
+NEG_INF = -1e9
+
+
+@dataclass(frozen=True)
+class RetrievalConfig:
+    num_hierarchies: int = 3
+    codebook_size: int = 256  # num_embeddings_per_hierarchy
+    t5_d_model: int = 128
+    t5_d_kv: int = 64
+    t5_num_heads: int = 6
+    t5_d_ff: int = 1024
+    t5_num_layers: int = 4
+    t5_dropout: float = 0.1
+    top_k_for_generation: int = 10
+    n_candidates: int = 64  # sampled-candidate count (reference min(64, K))
+    should_add_sep_token: bool = True
+    num_user_bins: Optional[int] = None
+    sample_candidates: bool = False  # False = exhaustive top-k (deterministic)
+
+    @property
+    def t5(self) -> T5StackConfig:
+        return T5StackConfig(
+            d_model=self.t5_d_model,
+            d_kv=self.t5_d_kv,
+            num_heads=self.t5_num_heads,
+            d_ff=self.t5_d_ff,
+            num_layers=self.t5_num_layers,
+            dropout=self.t5_dropout,
+        )
+
+
+class ModelOutput(NamedTuple):
+    loss: jax.Array  # scalar
+    logits: jax.Array  # [B, L, K] per-hierarchy teacher-forced logits
+    loss_d: jax.Array  # [L] per-hierarchy losses
+
+
+class GenerationOutput(NamedTuple):
+    sem_ids: jax.Array  # [B, top_k, L]
+    log_probas: jax.Array  # [B, top_k]
+
+
+def strip_dedup_col(flat: jax.Array, sem_ids_dim: int, n_layers: int) -> jax.Array:
+    """[B, N*sem_ids_dim] -> [B, N*n_layers] (reference model.py:26-45)."""
+    B, total = flat.shape
+    N = total // sem_ids_dim
+    return flat.reshape(B, N, sem_ids_dim)[:, :, :n_layers].reshape(B, N * n_layers)
+
+
+class EncoderDecoderRetrievalModel(nn.Module):
+    config: RetrievalConfig
+
+    def setup(self):
+        cfg = self.config
+        L, K, d = cfg.num_hierarchies, cfg.codebook_size, cfg.t5_d_model
+        # HF T5 init: embeddings ~ N(0, 1) (factor=1.0)
+        self.sid_embedding = self.param("sid_embedding", nn.initializers.normal(1.0), (L * K, d))
+        self.bos_token = self.param("bos_token", nn.initializers.normal(1.0), (1, d))
+        if cfg.should_add_sep_token:
+            self.sep_token = self.param("sep_token", nn.initializers.normal(1.0), (1, d))
+        if cfg.num_user_bins:
+            self.user_embedding = self.param(
+                "user_embedding", nn.initializers.normal(1.0), (cfg.num_user_bins, d)
+            )
+        self.encoder = T5Stack(cfg.t5, is_decoder=False, name="encoder")
+        self.decoder = T5Stack(cfg.t5, is_decoder=True, name="decoder")
+        # per-hierarchy output heads [L, d, K] (reference: L x Linear(d, K))
+        self.heads = self.param("heads", torch_linear_init, (L, d, K))
+
+    # ---------- shared helpers ----------
+
+    def _offsets(self, n_cols: int) -> jax.Array:
+        """Per-hierarchy embedding offsets repeated across columns
+        (reference model.py:129-148)."""
+        cfg = self.config
+        offs = jnp.arange(cfg.num_hierarchies, dtype=jnp.int32) * cfg.codebook_size
+        reps = -(-n_cols // cfg.num_hierarchies)
+        return jnp.tile(offs, reps)[:n_cols]
+
+    def encoder_forward(
+        self,
+        sem_ids: jax.Array,  # [B, N*L], dedup stripped, -1 padded
+        seq_mask: jax.Array,  # [B, N*L] 1=valid
+        user_ids: Optional[jax.Array] = None,  # [B]
+        training: bool = False,
+    ):
+        cfg = self.config
+        B, T = sem_ids.shape
+        mask = seq_mask.astype(jnp.int32)
+        shifted = (sem_ids + self._offsets(T)[None, :]) * mask  # padding -> row 0, masked out
+        embs = self.sid_embedding[shifted]  # [B, T, d]
+
+        if cfg.should_add_sep_token:
+            L = cfg.num_hierarchies
+            items = T // L
+            e = embs.reshape(B, items, L, -1)
+            m = mask.reshape(B, items, L)
+            sep = jnp.broadcast_to(self.sep_token, (B, items, 1, e.shape[-1]))
+            e = jnp.concatenate([e, sep], axis=2)
+            m = jnp.concatenate([m, m[:, :, -1:]], axis=2)
+            embs = e.reshape(B, items * (L + 1), -1)
+            mask = m.reshape(B, items * (L + 1))
+
+        if user_ids is not None and cfg.num_user_bins:
+            u = jnp.remainder(user_ids, cfg.num_user_bins)
+            ue = self.user_embedding[u][:, None, :]
+            embs = jnp.concatenate([ue, embs], axis=1)
+            mask = jnp.concatenate([jnp.ones((B, 1), mask.dtype), mask], axis=1)
+
+        enc = self.encoder(embs, self_mask=mask, training=training)
+        return enc, mask
+
+    def decoder_forward(
+        self,
+        fut_ids: Optional[jax.Array],  # [B, T] prefix (None = BOS only)
+        enc_out: jax.Array,
+        enc_mask: jax.Array,
+        training: bool = False,
+    ) -> jax.Array:
+        B = enc_out.shape[0]
+        bos = jnp.broadcast_to(self.bos_token, (B, 1, self.config.t5_d_model))
+        if fut_ids is not None and fut_ids.shape[1] > 0:
+            T = fut_ids.shape[1]
+            shifted = fut_ids + self._offsets(T)[None, :]
+            embs = jnp.concatenate([bos, self.sid_embedding[shifted]], axis=1)
+        else:
+            embs = bos
+        return self.decoder(
+            embs, self_mask=None, enc_out=enc_out, enc_mask=enc_mask, training=training
+        )  # [B, T+1, d]
+
+    # ---------- training ----------
+
+    def __call__(self, batch: TokenizedSeqBatch, training: bool = False) -> ModelOutput:
+        cfg = self.config
+        L = cfg.num_hierarchies
+        D = L + 1  # sem_ids_dim including dedup column
+        input_ids = strip_dedup_col(batch.sem_ids, D, L)
+        mask = strip_dedup_col(batch.seq_mask.astype(jnp.int32), D, L)
+        fut = batch.sem_ids_fut[:, :L]
+
+        enc, enc_mask = self.encoder_forward(input_ids, mask, batch.user_ids, training)
+        dec = self.decoder_forward(fut, enc, enc_mask, training)[:, :-1]  # [B, L, d]
+
+        logits = jnp.einsum("bld,ldk->blk", dec, self.heads)  # [B, L, K]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, fut[:, :, None], axis=-1)[..., 0]  # [B, L]
+        loss_d = jnp.mean(nll, axis=0)  # [L]
+        return ModelOutput(loss=jnp.sum(loss_d), logits=logits, loss_d=loss_d)
+
+    # ---------- generation (serving path) ----------
+
+    def generate(
+        self,
+        sem_ids: jax.Array,  # [B, N*(L+1)] with dedup column (as tokenized)
+        seq_mask: jax.Array,
+        user_ids: Optional[jax.Array],
+        prefix_table: PrefixTable,
+        rng: Optional[jax.Array] = None,
+    ) -> GenerationOutput:
+        """Constrained beam search (reference model.py:300-391)."""
+        cfg = self.config
+        L, K, k = cfg.num_hierarchies, cfg.codebook_size, cfg.top_k_for_generation
+        D = L + 1
+        input_ids = strip_dedup_col(sem_ids, D, L)
+        mask = strip_dedup_col(seq_mask.astype(jnp.int32), D, L)
+        B = input_ids.shape[0]
+
+        enc, enc_mask = self.encoder_forward(input_ids, mask, user_ids, training=False)
+        # replicate encoder output across beams once: [B*k, Lenc, d]
+        enc_rep = jnp.repeat(enc, k, axis=0)
+        enc_mask_rep = jnp.repeat(enc_mask, k, axis=0)
+
+        def head_logprobs(dec_last: jax.Array, h: int) -> jax.Array:
+            logits = dec_last @ self.heads[h]
+            return jax.nn.log_softmax(logits, axis=-1)
+
+        def candidate_scores(logp, parent_keys, h, rng_h):
+            """Return (scores [.., n_cand], cand_ids [.., n_cand]) with
+            invalid prefixes masked to -inf."""
+            if cfg.sample_candidates:
+                n_cands = min(cfg.n_candidates, K)
+                samples = jax.random.categorical(rng_h, logp[..., None, :].repeat(n_cands, -2), axis=-1)
+                samp_logp = jnp.take_along_axis(logp, samples, axis=-1)
+                keys = extend_keys(prefix_table, parent_keys[..., None], samples)
+                valid = is_valid_prefix(prefix_table, h, keys)
+                return jnp.where(valid, samp_logp, NEG_INF), samples
+            cand = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), logp.shape)
+            keys = extend_keys(prefix_table, parent_keys[..., None], cand)
+            valid = is_valid_prefix(prefix_table, h, keys)
+            return jnp.where(valid, logp, NEG_INF), cand
+
+        # --- level 0: all beams share the empty prefix ---
+        dec = self.decoder_forward(None, enc, enc_mask)[:, -1]  # [B, d]
+        logp0 = head_logprobs(dec, 0)  # [B, K]
+        zero_keys = jnp.zeros((B,), prefix_table.level_keys[0].dtype)
+        r0 = jax.random.fold_in(rng, 0) if rng is not None else None
+        scores0, cand0 = candidate_scores(logp0, zero_keys, 0, r0)  # [B, n]
+        top_scores, top_idx = jax.lax.top_k(scores0, k)  # [B, k]
+        beam_ids = jnp.take_along_axis(cand0, top_idx, axis=-1)[:, :, None]  # [B, k, 1]
+        beam_logp = top_scores
+        beam_keys = extend_keys(prefix_table, zero_keys[:, None], beam_ids[..., 0])  # [B, k]
+
+        # --- levels 1..L-1 ---
+        for h in range(1, L):
+            flat_prefix = beam_ids.reshape(B * k, h)
+            dec = self.decoder_forward(flat_prefix, enc_rep, enc_mask_rep)[:, -1]  # [B*k, d]
+            logp = head_logprobs(dec, h).reshape(B, k, K)
+            rh = jax.random.fold_in(rng, h) if rng is not None else None
+            scores, cand = candidate_scores(logp, beam_keys, h, rh)  # [B, k, n]
+            total = beam_logp[:, :, None] + scores
+            n = total.shape[-1]
+            top_scores, top_idx = jax.lax.top_k(total.reshape(B, k * n), k)
+            parent = top_idx // n  # [B, k]
+            chosen = jnp.take_along_axis(
+                cand.reshape(B, k * n), top_idx, axis=-1
+            )  # [B, k]
+            parent_ids = jnp.take_along_axis(beam_ids, parent[:, :, None], axis=1)  # [B, k, h]
+            beam_ids = jnp.concatenate([parent_ids, chosen[:, :, None]], axis=-1)
+            parent_keys = jnp.take_along_axis(beam_keys, parent, axis=1)
+            beam_keys = extend_keys(prefix_table, parent_keys, chosen)
+            beam_logp = top_scores
+
+        return GenerationOutput(sem_ids=beam_ids, log_probas=beam_logp)

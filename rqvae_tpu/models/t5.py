@@ -1,0 +1,251 @@
+"""Native T5-style transformer stacks (encoder + decoder) in flax.linen.
+
+The reference builds its retrieval model from HuggingFace `T5EncoderModel` /
+`T5Stack` (reference modules/model.py:77-96). We re-implement the same
+architecture natively so the whole forward is one XLA program:
+
+- RMSNorm (T5LayerNorm): no mean subtraction, no bias, eps 1e-6.
+- Pre-norm residual blocks with dropout (default 0.1, the HF T5Config
+  default the reference inherits).
+- Attention WITHOUT 1/sqrt(d) scaling (T5 bakes the scale into init),
+  bias-free q/k/v/o projections, d_kv fixed (default 64) independent of
+  d_model — matching T5Config defaults.
+- Shared relative position bias: computed by the first block of each stack
+  and reused by all blocks (bidirectional buckets in the encoder, causal in
+  the decoder); 32 buckets, max distance 128. Cross-attention has no bias.
+- FFN: wi -> relu -> dropout -> wo (feed_forward_proj="relu" default).
+- Final RMSNorm + dropout at the end of each stack.
+
+TPU-first: no KV cache machinery — the decoder sequences in this domain are
+at most L+1 ~= 4 tokens (one semantic-ID tuple), so beam search recomputes
+the tiny decoder per level instead of reordering a cache (reference
+model.py:374-380); everything stays static-shape inside one jit.
+
+Initialization mirrors HF T5's scheme (factor=1.0): q ~ N(0, (d_model *
+d_kv)^-0.5), k/v ~ N(0, d_model^-0.5), o ~ N(0, (n_heads*d_kv)^-0.5),
+wi ~ N(0, d_model^-0.5), wo ~ N(0, d_ff^-0.5), rel-bias ~ N(0,
+d_model^-0.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+@dataclass(frozen=True)
+class T5StackConfig:
+    d_model: int = 128
+    d_kv: int = 64
+    num_heads: int = 6
+    d_ff: int = 1024
+    num_layers: int = 4
+    dropout: float = 0.1
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+
+
+def _normal(stddev):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        x = (x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)).astype(dtype)
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        return x * w
+
+
+def relative_position_bucket(
+    relative_position: jax.Array,
+    bidirectional: bool,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+) -> jax.Array:
+    """T5's log-binned relative position bucketing (HF modeling_t5)."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class T5Attention(nn.Module):
+    cfg: T5StackConfig
+    has_relative_bias: bool = False
+    bidirectional: bool = True  # bucket scheme for the relative bias
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, Lq, d]
+        kv: Optional[jax.Array] = None,  # [B, Lk, d] for cross-attention
+        mask: Optional[jax.Array] = None,  # [B, Lk] 1=attend
+        position_bias: Optional[jax.Array] = None,  # [1, H, Lq, Lk]
+        causal: bool = False,
+        training: bool = False,
+    ):
+        cfg = self.cfg
+        inner = cfg.num_heads * cfg.d_kv
+        d = cfg.d_model
+        kv_in = x if kv is None else kv
+        B, Lq, _ = x.shape
+        Lk = kv_in.shape[1]
+
+        q = nn.Dense(inner, use_bias=False, kernel_init=_normal((d * cfg.d_kv) ** -0.5), name="q")(x)
+        k = nn.Dense(inner, use_bias=False, kernel_init=_normal(d**-0.5), name="k")(kv_in)
+        v = nn.Dense(inner, use_bias=False, kernel_init=_normal(d**-0.5), name="v")(kv_in)
+
+        q = q.reshape(B, Lq, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+
+        # T5: no 1/sqrt(d) scaling
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+
+        if position_bias is None and self.has_relative_bias:
+            ctx = jnp.arange(Lq)[:, None]
+            mem = jnp.arange(Lk)[None, :]
+            buckets = relative_position_bucket(
+                mem - ctx, self.bidirectional, cfg.rel_buckets, cfg.rel_max_distance
+            )
+            bias_table = self.param(
+                "rel_bias", _normal(d**-0.5), (cfg.rel_buckets, cfg.num_heads)
+            )
+            position_bias = bias_table[buckets].transpose(2, 0, 1)[None]  # [1,H,Lq,Lk]
+
+        if position_bias is not None:
+            scores = scores + position_bias
+
+        if mask is not None:
+            scores = scores + jnp.where(mask[:, None, None, :], 0.0, NEG_INF)
+        if causal:
+            cmask = jnp.tril(jnp.ones((Lq, Lk), bool))
+            scores = scores + jnp.where(cmask[None, None], 0.0, NEG_INF)
+
+        weights = jax.nn.softmax(scores, axis=-1)
+        weights = nn.Dropout(cfg.dropout, deterministic=not training)(weights)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+        out = nn.Dense(
+            cfg.d_model, use_bias=False, kernel_init=_normal((inner) ** -0.5), name="o"
+        )(out)
+        return out, position_bias
+
+
+class T5FFN(nn.Module):
+    cfg: T5StackConfig
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        cfg = self.cfg
+        h = nn.Dense(cfg.d_ff, use_bias=False, kernel_init=_normal(cfg.d_model**-0.5), name="wi")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(cfg.dropout, deterministic=not training)(h)
+        return nn.Dense(cfg.d_model, use_bias=False, kernel_init=_normal(cfg.d_ff**-0.5), name="wo")(h)
+
+
+class T5Block(nn.Module):
+    cfg: T5StackConfig
+    is_decoder: bool = False
+    has_relative_bias: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        enc_out=None,
+        self_mask=None,
+        enc_mask=None,
+        position_bias=None,
+        training: bool = False,
+    ):
+        cfg = self.cfg
+        drop = lambda h: nn.Dropout(cfg.dropout, deterministic=not training)(h)
+
+        # self attention (causal in the decoder)
+        h, position_bias = T5Attention(
+            cfg,
+            has_relative_bias=self.has_relative_bias,
+            bidirectional=not self.is_decoder,
+            name="self_attn",
+        )(
+            RMSNorm(cfg.layer_norm_eps, name="ln_self")(x),
+            mask=self_mask,
+            position_bias=position_bias,
+            causal=self.is_decoder,
+            training=training,
+        )
+        x = x + drop(h)
+
+        if self.is_decoder and enc_out is not None:
+            h, _ = T5Attention(cfg, has_relative_bias=False, name="cross_attn")(
+                RMSNorm(cfg.layer_norm_eps, name="ln_cross")(x),
+                kv=enc_out,
+                mask=enc_mask,
+                training=training,
+            )
+            x = x + drop(h)
+
+        h = T5FFN(cfg, name="ffn")(RMSNorm(cfg.layer_norm_eps, name="ln_ffn")(x), training=training)
+        return x + drop(h), position_bias
+
+
+class T5Stack(nn.Module):
+    """Encoder or decoder stack over pre-computed input embeddings."""
+
+    cfg: T5StackConfig
+    is_decoder: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,  # [B, L, d]
+        self_mask: Optional[jax.Array] = None,  # [B, L] 1=valid
+        enc_out: Optional[jax.Array] = None,
+        enc_mask: Optional[jax.Array] = None,
+        training: bool = False,
+    ) -> jax.Array:
+        cfg = self.cfg
+        x = nn.Dropout(cfg.dropout, deterministic=not training)(inputs_embeds)
+        position_bias = None
+        for i in range(cfg.num_layers):
+            x, position_bias = T5Block(
+                cfg,
+                is_decoder=self.is_decoder,
+                has_relative_bias=(i == 0),
+                name=f"block_{i}",
+            )(
+                x,
+                enc_out=enc_out,
+                self_mask=self_mask,
+                enc_mask=enc_mask,
+                position_bias=position_bias,
+                training=training,
+            )
+        x = RMSNorm(cfg.layer_norm_eps, name="ln_final")(x)
+        return nn.Dropout(cfg.dropout, deterministic=not training)(x)

@@ -1,0 +1,126 @@
+"""T5 stack tests: shapes, masking semantics, causality, relative-position
+bucketing vs the HF formula."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.models.t5 import (
+    RMSNorm,
+    T5Stack,
+    T5StackConfig,
+    relative_position_bucket,
+)
+
+CFG = T5StackConfig(d_model=32, d_kv=8, num_heads=4, d_ff=64, num_layers=2, dropout=0.0)
+
+
+def _hf_bucket_oracle(rel, bidirectional, num_buckets=32, max_distance=128):
+    """Direct port of the HF T5 formula as an independent numpy oracle."""
+    ret = 0
+    n = -rel
+    if bidirectional:
+        num_buckets //= 2
+        ret += (n < 0) * num_buckets
+        n = abs(n)
+    else:
+        n = max(n, 0)
+    max_exact = num_buckets // 2
+    if n < max_exact:
+        return ret + n
+    val = max_exact + int(
+        np.log(n / max_exact) / np.log(max_distance / max_exact) * (num_buckets - max_exact)
+    )
+    return ret + min(val, num_buckets - 1)
+
+
+class TestRelativeBucket:
+    def test_matches_oracle_bidirectional(self):
+        rel = jnp.arange(-200, 201).reshape(1, -1)
+        got = np.asarray(relative_position_bucket(rel, True))
+        want = np.array([[_hf_bucket_oracle(int(r), True) for r in rel[0]]])
+        np.testing.assert_array_equal(got, want)
+
+    def test_matches_oracle_causal(self):
+        rel = jnp.arange(-200, 201).reshape(1, -1)
+        got = np.asarray(relative_position_bucket(rel, False))
+        want = np.array([[_hf_bucket_oracle(int(r), False) for r in rel[0]]])
+        np.testing.assert_array_equal(got, want)
+
+
+class TestRMSNorm:
+    def test_matches_t5_layernorm(self):
+        x = jnp.array(np.random.RandomState(0).randn(3, 5).astype(np.float32))
+        m = RMSNorm()
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(m.apply(p, x))
+        xn = np.asarray(x)
+        want = xn / np.sqrt((xn**2).mean(-1, keepdims=True) + 1e-6)
+        np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def _init_stack(is_decoder=False, seed=0):
+    stack = T5Stack(CFG, is_decoder=is_decoder)
+    B, L = 2, 6
+    x = jnp.array(np.random.RandomState(seed).randn(B, L, CFG.d_model).astype(np.float32))
+    if is_decoder:
+        enc = jnp.array(np.random.RandomState(seed + 1).randn(B, 4, CFG.d_model).astype(np.float32))
+        enc_mask = jnp.ones((B, 4), jnp.int32)
+        params = stack.init(jax.random.PRNGKey(seed), x, enc_out=enc, enc_mask=enc_mask)
+        return stack, params, x, enc, enc_mask
+    params = stack.init(jax.random.PRNGKey(seed), x)
+    return stack, params, x
+
+
+class TestEncoder:
+    def test_shapes(self):
+        stack, params, x = _init_stack()
+        out = stack.apply(params, x)
+        assert out.shape == x.shape
+
+    def test_padding_mask_blocks_information(self):
+        stack, params, x = _init_stack()
+        mask = jnp.array([[1, 1, 1, 0, 0, 0]] * 2, jnp.int32)
+        out1 = stack.apply(params, x, self_mask=mask)
+        # perturb masked positions: valid outputs must not change
+        x2 = x.at[:, 3:].set(99.0)
+        out2 = stack.apply(params, x2, self_mask=mask)
+        np.testing.assert_allclose(np.asarray(out1[:, :3]), np.asarray(out2[:, :3]), atol=1e-5)
+
+
+class TestDecoder:
+    def test_causality(self):
+        stack, params, x, enc, enc_mask = _init_stack(is_decoder=True)
+        out1 = stack.apply(params, x, enc_out=enc, enc_mask=enc_mask)
+        # perturb future positions: past outputs must not change
+        x2 = x.at[:, 4:].set(-50.0)
+        out2 = stack.apply(params, x2, enc_out=enc, enc_mask=enc_mask)
+        np.testing.assert_allclose(np.asarray(out1[:, :4]), np.asarray(out2[:, :4]), atol=1e-5)
+        assert not np.allclose(np.asarray(out1[:, 4:]), np.asarray(out2[:, 4:]))
+
+    def test_cross_attention_uses_encoder(self):
+        stack, params, x, enc, enc_mask = _init_stack(is_decoder=True)
+        out1 = stack.apply(params, x, enc_out=enc, enc_mask=enc_mask)
+        out2 = stack.apply(params, x, enc_out=enc + 1.0, enc_mask=enc_mask)
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_encoder_mask_blocks_encoder_positions(self):
+        stack, params, x, enc, enc_mask = _init_stack(is_decoder=True)
+        mask = jnp.array([[1, 1, 0, 0]] * 2, jnp.int32)
+        out1 = stack.apply(params, x, enc_out=enc, enc_mask=mask)
+        enc2 = enc.at[:, 2:].set(77.0)
+        out2 = stack.apply(params, x, enc_out=enc2, enc_mask=mask)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+    def test_dropout_rng_changes_output(self):
+        cfg = T5StackConfig(d_model=32, d_kv=8, num_heads=4, d_ff=64, num_layers=1, dropout=0.5)
+        stack = T5Stack(cfg)
+        x = jnp.ones((1, 4, 32))
+        params = stack.init(jax.random.PRNGKey(0), x)
+        a = stack.apply(params, x, training=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        b = stack.apply(params, x, training=True, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        # deterministic path ignores rng
+        c = stack.apply(params, x, training=False)
+        d = stack.apply(params, x, training=False)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(d))

@@ -1,0 +1,131 @@
+"""Pallas TPU kernel: fused MLP-encode + L-level residual quantization.
+
+This is the corpus-tokenization hot path (reference
+modules/tokenizer/semids.py:76-110 -> rqvae.py:118-139). The flagship
+geometry (768 -> [512,256,128] -> 32, 3x256 codebooks) has an entire weight
+stack of ~2.3 MB (f32) plus 98 KB of codebooks — all of it fits in VMEM.
+The kernel therefore:
+
+- keeps every weight matrix and codebook resident in VMEM,
+- streams corpus rows through the grid in row tiles,
+- runs the full chain (matmul -> relu -> ... -> per-level distance matrix ->
+  argmin -> one-hot-matmul residual subtract) without touching HBM for any
+  intermediate,
+- writes only the [rows, L] int32 semantic IDs back.
+
+HBM traffic = one read of the corpus + the id write, i.e. the kernel is
+input-bandwidth-bound — speed-of-light for this op.
+
+The residual subtract uses a one-hot matmul (MXU) instead of a row gather,
+which Pallas/Mosaic lowers poorly. Distances are always accumulated in
+f32; with precision="bf16" the matmuls run in bf16 (2x MXU rate) which can
+flip argmin ties — use f32 (default) when exact parity with the XLA path
+matters.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(n_weights: int, n_levels: int, precision: str, x_ref, *refs):
+    w_refs = refs[:n_weights]
+    cb_ref = refs[n_weights]  # [L, K, D]
+    out_ref = refs[n_weights + 1]  # [rows, L] int32
+
+    cdtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    h = x_ref[:].astype(cdtype)
+    for i in range(n_weights):
+        h = jnp.dot(h, w_refs[i][:].astype(cdtype), preferred_element_type=jnp.float32)
+        if i != n_weights - 1:
+            h = jnp.maximum(h, 0.0)
+        if i != n_weights - 1:
+            h = h.astype(cdtype)
+
+    res = h  # f32 [rows, D]
+    K = cb_ref.shape[1]
+    ids_levels = []
+    for level in range(n_levels):
+        cb = cb_ref[level].astype(jnp.float32)  # [K, D]
+        cb2 = jnp.sum(cb * cb, axis=-1)  # [K]
+        xc = jnp.dot(res.astype(cdtype), cb.T.astype(cdtype), preferred_element_type=jnp.float32)
+        # argmin over ||res - cb||^2 == argmin over (cb^2 - 2 res.cb)
+        dist = cb2[None, :] - 2.0 * xc
+        ids = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        ids_levels.append(ids)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], K), 1) == ids[:, None]).astype(
+            cdtype
+        )
+        res = res - jnp.dot(onehot, cb.astype(cdtype), preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.stack(ids_levels, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_levels", "block_rows", "precision", "interpret")
+)
+def fused_encode_quantize(
+    x: jax.Array,  # [N, input_dim], N a multiple of block_rows
+    weights: Tuple[jax.Array, ...],  # encoder MLP kernels, in order
+    codebooks: jax.Array,  # [L, K, D]
+    n_levels: int,
+    block_rows: int = 256,
+    precision: str = "f32",
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [N, L] int32 semantic IDs."""
+    N, input_dim = x.shape
+    assert N % block_rows == 0, (N, block_rows)
+    n_weights = len(weights)
+
+    grid = (N // block_rows,)
+    in_specs = [
+        pl.BlockSpec((block_rows, input_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    for w in weights:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    in_specs.append(
+        pl.BlockSpec(codebooks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    )
+
+    kernel = functools.partial(_kernel, n_weights, n_levels, precision)
+    flops_mlp = 2 * N * sum(a.shape[0] * a.shape[1] for a in weights)
+    flops_q = 2 * N * n_levels * codebooks.shape[1] * codebooks.shape[2] * 2
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_rows, n_levels), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, n_levels), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mlp + flops_q,
+            bytes_accessed=x.size * x.dtype.itemsize + N * n_levels * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, *weights, codebooks)
+
+
+def encoder_weights_from_params(params) -> Tuple[jax.Array, ...]:
+    """Extract the encoder MLP kernels (in forward order) from RqVae params."""
+    enc = params["params"]["encoder"]
+    names = sorted(enc.keys(), key=lambda s: int(s.split("_")[-1]))
+    return tuple(enc[n]["kernel"] for n in names)
+
+
+def pallas_supported(config) -> bool:
+    """The kernel path needs no SimVQ/out-proj and no encoder normalization
+    (flagship configs satisfy this; others fall back to the XLA path)."""
+    return not config.sim_vq and not config.codebook_normalize

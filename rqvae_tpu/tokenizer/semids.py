@@ -38,12 +38,23 @@ class SemanticIdTokenizer:
         params,
         tokenize_batch_size: int = 8192,
         sharding: Optional[jax.sharding.Sharding] = None,
+        use_pallas: Optional[bool] = None,  # None = auto (TPU + supported config)
+        pallas_precision: str = "f32",
     ):
         self.model = model
         self.params = params
         self.tokenize_batch_size = tokenize_batch_size
         self.sharding = sharding
         self.cached_ids: Optional[jax.Array] = None  # [N, L+1]
+        self._corpus_src = None  # host-array identity for device-corpus reuse
+        self._corpus_dev: Optional[jax.Array] = None
+
+        from rqvae_tpu.ops.pallas.rq_encode import pallas_supported
+
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and pallas_supported(model.config)
+        self.use_pallas = use_pallas
+        self.pallas_precision = pallas_precision
 
         cfg = model.config
 
@@ -77,17 +88,49 @@ class SemanticIdTokenizer:
         """[B, D] features -> [B, L] semantic ids (no dedup column)."""
         return self._encode_chunk(self.params, x)
 
+    def _device_corpus(self, item_features: np.ndarray, row_multiple: int) -> jax.Array:
+        """Zero-pad rows to a multiple and cache the device transfer (a
+        corpus is tokenized many times during training; re-uploading ~50MB
+        per eval would dominate)."""
+        n = item_features.shape[0]
+        n_pad = (n + row_multiple - 1) // row_multiple * row_multiple
+        if self._corpus_src is item_features and self._corpus_dev is not None and (
+            self._corpus_dev.shape[0] == n_pad
+        ):
+            return self._corpus_dev
+        x = np.zeros((n_pad, item_features.shape[1]), np.float32)
+        x[:n] = item_features
+        self._corpus_dev = jnp.asarray(x)
+        self._corpus_src = item_features
+        return self._corpus_dev
+
     def precompute_corpus_ids(self, item_features: np.ndarray) -> jax.Array:
         """Tokenize the whole corpus and build the dedup'd ID table [N, L+1]."""
         n = item_features.shape[0]
-        b = min(self.tokenize_batch_size, n)
-        n_pad = (n + b - 1) // b * b
-        x = np.zeros((n_pad, item_features.shape[1]), np.float32)
-        x[:n] = item_features
-        x_chunks = jnp.asarray(x.reshape(-1, b, item_features.shape[1]))
+        cfg = self.model.config
+        if self.use_pallas:
+            from rqvae_tpu.ops.pallas.rq_encode import (
+                encoder_weights_from_params,
+                fused_encode_quantize,
+            )
 
-        ids = self._corpus_ids(self.params, x_chunks)[:n]  # [N, L]
-        keys = pack_sem_id_tuples(ids, self.model.config.codebook_size)
+            block = 256
+            x = self._device_corpus(item_features, block)
+            ids = fused_encode_quantize(
+                x,
+                encoder_weights_from_params(self.params),
+                self.params["params"]["codebooks"],
+                n_levels=cfg.n_layers,
+                block_rows=block,
+                precision=self.pallas_precision,
+                interpret=jax.default_backend() != "tpu",
+            )[:n]
+        else:
+            b = min(self.tokenize_batch_size, n)
+            x = self._device_corpus(item_features, b)
+            ids = self._corpus_ids(self.params, x.reshape(-1, b, x.shape[1]))[:n]
+
+        keys = pack_sem_id_tuples(ids, cfg.codebook_size)
         dedup = dedup_counts_from_keys(keys)
         self.cached_ids = jnp.concatenate([ids, dedup[:, None].astype(ids.dtype)], axis=1)
         return self.cached_ids

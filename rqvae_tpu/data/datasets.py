@@ -37,10 +37,14 @@ def load_processed(root: str) -> dict:
 class ItemDataset:
     """Per-item feature rows, filterable by the item-level train/eval split."""
 
-    def __init__(self, data: dict, split: str = "all", max_feat_dim: Optional[int] = 768):
+    def __init__(self, data: dict, split: str = "all", max_feat_dim: Optional[int] = None):
         feats = data["item_features"]
-        if max_feat_dim is not None and feats.shape[1] > max_feat_dim:
-            # reference truncates to [:768] (processed.py:78)
+        # The reference truncates to [:768] unconditionally (processed.py:78),
+        # which silently drops ML's trailing genre one-hots; here the pipeline
+        # declares its feature width ("feature_dim", defaulting to full).
+        if max_feat_dim is None:
+            max_feat_dim = int(data.get("feature_dim", feats.shape[1]))
+        if feats.shape[1] > max_feat_dim:
             feats = feats[:, :max_feat_dim]
         is_train = data["item_is_train"].astype(bool)
         if split == "train":
@@ -67,18 +71,38 @@ class ItemDataset:
 
 
 class SeqDataset:
-    """User interaction sequences with fixed-shape batch sampling."""
+    """User interaction sequences with fixed-shape batch sampling.
+
+    Two on-disk formats (marker key `seq_format`):
+    - "leave_two_out" (default; Amazon amazon.py:65-97 / synthetic): each row
+      is a user's FULL history; items[L-2] is the eval target, items[L-1]
+      the test target.
+    - "windows" (MovieLens preprocessing.py:77-151): each row is one sliding
+      window with an `seq_is_train` flag from the timestamp-quantile split;
+      eval/test rows use their last item as the target. (The reference's
+      window rows carry fut=-1 for train and its ML decoder path is dead,
+      train_decoder.py:67-68; here both stages work on windows.)
+    """
 
     def __init__(self, data: dict, split: str = "train", subsample: bool = False):
         assert (not subsample) or split == "train", "Can only subsample the training split."
         self.split = split
         self.subsample = subsample
-        self.seq_items = data["seq_items"].astype(np.int64)  # [U, T] -1 padded
-        self.seq_lengths = data["seq_lengths"].astype(np.int64)  # [U]
-        self.user_ids = data["user_ids"].astype(np.int64)
+        self.format = str(data.get("seq_format", "leave_two_out"))
+        seq_items = data["seq_items"].astype(np.int64)  # [R, T] -1 padded
+        seq_lengths = data["seq_lengths"].astype(np.int64)  # [R]
+        user_ids = data["user_ids"].astype(np.int64)
+        if self.format == "windows":
+            is_train = data["seq_is_train"].astype(bool)
+            filt = is_train if split == "train" else ~is_train
+            seq_items, seq_lengths, user_ids = seq_items[filt], seq_lengths[filt], user_ids[filt]
+        self.seq_items = seq_items
+        self.seq_lengths = seq_lengths
+        self.user_ids = user_ids
         self.features = data["item_features"].astype(np.float32)
-        if self.features.shape[1] > 768:
-            self.features = self.features[:, :768]
+        feat_dim = int(data.get("feature_dim", self.features.shape[1]))
+        if self.features.shape[1] > feat_dim:
+            self.features = self.features[:, :feat_dim]
         self.max_seq_len = int(data["max_seq_len"])
 
     def __len__(self) -> int:
@@ -114,7 +138,10 @@ class SeqDataset:
         start ~ U[0, M-3], end ~ U[start+3, start+max_len+1], clamp to M;
         history = window[:-1], target = window[-1]."""
         ml = self.max_seq_len
-        M = (self.seq_lengths[batch_idx] - 1).astype(np.int64)  # len(items[:L-1])
+        if self.format == "windows":
+            M = self.seq_lengths[batch_idx].astype(np.int64)  # whole window usable
+        else:
+            M = (self.seq_lengths[batch_idx] - 1).astype(np.int64)  # len(items[:L-1])
         M = np.maximum(M, 1)
         # python random.randint is inclusive on both ends
         starts = rng.randint(0, np.maximum(1, M - 2))  # [0, M-3] inclusive
@@ -138,6 +165,9 @@ class SeqDataset:
         if self.subsample:
             assert rng is not None
             ids, fut = self._subsample_window(rng, batch_idx)
+        elif self.format == "windows":
+            # window rows: last item is the target for every split
+            ids, fut = self._window(batch_idx, np.maximum(L - 1, 1))
         elif self.split in ("train", "eval"):
             ids, fut = self._window(batch_idx, np.maximum(L - 2, 1))
         else:  # test

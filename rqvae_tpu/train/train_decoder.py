@@ -92,6 +92,9 @@ def train(
     seed: int = 0,
     log_every: int = 100,
 ) -> dict:
+    from rqvae_tpu.utils.debug import maybe_init_debug
+
+    maybe_init_debug()
     dist.initialize_distributed()
     mesh = mesh_lib.make_mesh()
     is_main = dist.is_main_process()

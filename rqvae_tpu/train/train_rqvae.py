@@ -31,6 +31,7 @@ from rqvae_tpu.data.registry import RecDataset, ensure_dataset
 from rqvae_tpu.models.quantize import QuantizeForwardMode
 from rqvae_tpu.models.rqvae import RqVae, RqVaeConfig, kmeans_init_codebooks
 from rqvae_tpu.ops.dedup import codebook_usage, pack_sem_id_tuples, tuple_entropy
+from rqvae_tpu.ops.schedules import TemperatureScheduler
 from rqvae_tpu.parallel import dist, mesh as mesh_lib
 from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
 from rqvae_tpu.train.rqvae_steps import make_rqvae_eval_step, make_rqvae_train_step
@@ -70,11 +71,19 @@ def train(
     vae_n_layers: int = 3,
     dataset_split: str = "beauty",
     gumbel_temperature: float = 0.2,  # reference hard-codes t=0.2 (train_rqvae.py:177)
+    # exponential temperature anneal (reference TemperatureScheduler,
+    # distributions/gumbel.py:23-43 — shipped but unwired there; opt-in here)
+    gumbel_anneal_rate: Optional[float] = None,
+    gumbel_min_t: float = 0.05,
+    gumbel_anneal_step_size: int = 1000,
     seed: int = 0,
     log_every: int = 100,
     kmeans_init_samples: int = 20000,
 ) -> dict:
     """Returns a summary dict with final metrics and checkpoint path."""
+    from rqvae_tpu.utils.debug import maybe_init_debug
+
+    maybe_init_debug()
     dist.initialize_distributed()
     mesh = mesh_lib.make_mesh()
     is_main = dist.is_main_process()
@@ -146,11 +155,23 @@ def train(
 
     rng = np.random.RandomState(seed)
     t = gumbel_temperature
+    t_sched = (
+        TemperatureScheduler(
+            t0=gumbel_temperature,
+            min_t=gumbel_min_t,
+            anneal_rate=gumbel_anneal_rate,
+            step_size=gumbel_anneal_step_size,
+        )
+        if gumbel_anneal_rate is not None
+        else None
+    )
     t_start = time.time()
     summary: dict = {}
     ckpt_path = None
 
     for it in range(start_iter, start_iter + iterations):
+        if t_sched is not None:
+            t = t_sched.get_t(it)
         xs = np.stack(
             [train_items.sample_batch(rng, batch_size) for _ in range(gradient_accumulate_every)]
         )

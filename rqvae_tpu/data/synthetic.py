@@ -111,3 +111,32 @@ def generate_and_save(root: str, cfg: SyntheticConfig = SyntheticConfig()) -> st
     path = os.path.join(root, "processed", "data.npz")
     save(path, generate(cfg))
     return path
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Generate a synthetic dataset")
+    ap.add_argument("root")
+    ap.add_argument("--n-items", type=int, default=2000)
+    ap.add_argument("--n-users", type=int, default=500)
+    ap.add_argument("--input-dim", type=int, default=64)
+    ap.add_argument("--n-cat-feats", type=int, default=0)
+    ap.add_argument("--max-seq-len", type=int, default=20)
+    ap.add_argument("--n-top", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    cfg = SyntheticConfig(
+        n_items=args.n_items,
+        n_users=args.n_users,
+        input_dim=args.input_dim,
+        n_cat_feats=args.n_cat_feats,
+        max_seq_len=args.max_seq_len,
+        n_top=args.n_top,
+        seed=args.seed,
+    )
+    print(generate_and_save(args.root, cfg))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,7 @@ class RetrievalConfig:
     should_add_sep_token: bool = True
     num_user_bins: Optional[int] = None
     sample_candidates: bool = False  # False = exhaustive top-k (deterministic)
+    t5_dtype: str = "float32"  # "bfloat16" -> 2x MXU compute, f32 params
 
     @property
     def t5(self) -> T5StackConfig:
@@ -70,6 +71,7 @@ class RetrievalConfig:
             d_ff=self.t5_d_ff,
             num_layers=self.t5_num_layers,
             dropout=self.t5_dropout,
+            dtype=self.t5_dtype,
         )
 
 

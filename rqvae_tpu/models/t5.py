@@ -50,6 +50,13 @@ class T5StackConfig:
     rel_buckets: int = 32
     rel_max_distance: int = 128
     layer_norm_eps: float = 1e-6
+    # compute dtype ("float32" | "bfloat16"): params stay f32; matmuls run
+    # in bf16 on the MXU at 2x rate. Softmax/normalization stay f32.
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
 def _normal(stddev):
@@ -116,16 +123,17 @@ class T5Attention(nn.Module):
         B, Lq, _ = x.shape
         Lk = kv_in.shape[1]
 
-        q = nn.Dense(inner, use_bias=False, kernel_init=_normal((d * cfg.d_kv) ** -0.5), name="q")(x)
-        k = nn.Dense(inner, use_bias=False, kernel_init=_normal(d**-0.5), name="k")(kv_in)
-        v = nn.Dense(inner, use_bias=False, kernel_init=_normal(d**-0.5), name="v")(kv_in)
+        dt = cfg.compute_dtype
+        q = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal((d * cfg.d_kv) ** -0.5), name="q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5), name="k")(kv_in)
+        v = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5), name="v")(kv_in)
 
         q = q.reshape(B, Lq, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
 
-        # T5: no 1/sqrt(d) scaling
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        # T5: no 1/sqrt(d) scaling; scores accumulate in f32
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
 
         if position_bias is None and self.has_relative_bias:
             ctx = jnp.arange(Lq)[:, None]
@@ -147,12 +155,12 @@ class T5Attention(nn.Module):
             cmask = jnp.tril(jnp.ones((Lq, Lk), bool))
             scores = scores + jnp.where(cmask[None, None], 0.0, NEG_INF)
 
-        weights = jax.nn.softmax(scores, axis=-1)
+        weights = jax.nn.softmax(scores, axis=-1).astype(dt)
         weights = nn.Dropout(cfg.dropout, deterministic=not training)(weights)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(dt)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
         out = nn.Dense(
-            cfg.d_model, use_bias=False, kernel_init=_normal((inner) ** -0.5), name="o"
+            cfg.d_model, use_bias=False, dtype=dt, kernel_init=_normal((inner) ** -0.5), name="o"
         )(out)
         return out, position_bias
 
@@ -163,10 +171,11 @@ class T5FFN(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         cfg = self.cfg
-        h = nn.Dense(cfg.d_ff, use_bias=False, kernel_init=_normal(cfg.d_model**-0.5), name="wi")(x)
+        dt = cfg.compute_dtype
+        h = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=_normal(cfg.d_model**-0.5), name="wi")(x)
         h = nn.relu(h)
         h = nn.Dropout(cfg.dropout, deterministic=not training)(h)
-        return nn.Dense(cfg.d_model, use_bias=False, kernel_init=_normal(cfg.d_ff**-0.5), name="wo")(h)
+        return nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=_normal(cfg.d_ff**-0.5), name="wo")(h)
 
 
 class T5Block(nn.Module):
@@ -231,7 +240,9 @@ class T5Stack(nn.Module):
         training: bool = False,
     ) -> jax.Array:
         cfg = self.cfg
-        x = nn.Dropout(cfg.dropout, deterministic=not training)(inputs_embeds)
+        x = nn.Dropout(cfg.dropout, deterministic=not training)(
+            inputs_embeds.astype(cfg.compute_dtype)
+        )
         position_bias = None
         for i in range(cfg.num_layers):
             x, position_bias = T5Block(
@@ -248,4 +259,4 @@ class T5Stack(nn.Module):
                 training=training,
             )
         x = RMSNorm(cfg.layer_norm_eps, name="ln_final")(x)
-        return nn.Dropout(cfg.dropout, deterministic=not training)(x)
+        return nn.Dropout(cfg.dropout, deterministic=not training)(x).astype(jnp.float32)

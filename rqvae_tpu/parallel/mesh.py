@@ -53,3 +53,16 @@ def shard_batch_pytree(mesh: Mesh, batch, batch_axis: int = 0):
 def replicate_pytree(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def global_batch_from_process_local(mesh: Mesh, batch, batch_axis: int = 0):
+    """Multi-host batch assembly: each process holds its local slice of the
+    global batch; builds the global jax.Array sharded over 'data'
+    (the GSPMD equivalent of Accelerate's per-process batch sharding,
+    reference train_rqvae.py:67-70). Single-process: plain device_put."""
+    sh = batch_sharding(mesh, batch_axis)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda a: jax.device_put(np.asarray(a), sh), batch)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sh, np.asarray(a)), batch
+    )

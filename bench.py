@@ -127,7 +127,31 @@ def measure_torch_baseline() -> dict:
     return {"items_per_sec": N_ITEMS / dt, "seconds_per_pass": dt}
 
 
+def _device_healthy(timeout_s: int = 180) -> bool:
+    """Probe the default JAX device in a subprocess (the axon TPU tunnel can
+    wedge in a way that hangs any in-process call forever)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _device_healthy():
+        # accelerator wedged: re-exec on CPU so the driver still gets a line
+        print("# accelerator unresponsive; falling back to CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.execvpe(sys.executable, [sys.executable] + sys.argv, os.environ)
+
     ours = measure_jax()
 
     if os.path.exists(BASELINE_FILE):

@@ -61,6 +61,7 @@ class RetrievalConfig:
     num_user_bins: Optional[int] = None
     sample_candidates: bool = False  # False = exhaustive top-k (deterministic)
     t5_dtype: str = "float32"  # "bfloat16" -> 2x MXU compute, f32 params
+    t5_remat: bool = False  # jax.checkpoint each block (memory at scale)
 
     @property
     def t5(self) -> T5StackConfig:
@@ -72,6 +73,7 @@ class RetrievalConfig:
             num_layers=self.t5_num_layers,
             dropout=self.t5_dropout,
             dtype=self.t5_dtype,
+            remat=self.t5_remat,
         )
 
 

@@ -53,6 +53,9 @@ class T5StackConfig:
     # compute dtype ("float32" | "bfloat16"): params stay f32; matmuls run
     # in bf16 on the MXU at 2x rate. Softmax/normalization stay f32.
     dtype: str = "float32"
+    # rematerialize each block in the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for activation memory at large batch/seq.
+    remat: bool = False
 
     @property
     def compute_dtype(self):
@@ -244,19 +247,15 @@ class T5Stack(nn.Module):
             inputs_embeds.astype(cfg.compute_dtype)
         )
         position_bias = None
+        # remat: all block args passed positionally; `training` (last arg,
+        # index 6 counting self) must be static for `not training` in Dropout
+        block_cls = nn.remat(T5Block, static_argnums=(6,)) if cfg.remat else T5Block
         for i in range(cfg.num_layers):
-            x, position_bias = T5Block(
+            x, position_bias = block_cls(
                 cfg,
                 is_decoder=self.is_decoder,
                 has_relative_bias=(i == 0),
                 name=f"block_{i}",
-            )(
-                x,
-                enc_out=enc_out,
-                self_mask=self_mask,
-                enc_mask=enc_mask,
-                position_bias=position_bias,
-                training=training,
-            )
+            )(x, enc_out, self_mask, enc_mask, position_bias, training)
         x = RMSNorm(cfg.layer_norm_eps, name="ln_final")(x)
         return nn.Dropout(cfg.dropout, deterministic=not training)(x).astype(jnp.float32)

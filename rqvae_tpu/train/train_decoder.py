@@ -86,6 +86,8 @@ def train(
     num_user_bins: Optional[int] = None,
     top_k_eval_list: List[int] = [1, 5, 10],
     t5_dropout: float = 0.1,
+    t5_dtype: str = "float32",
+    t5_remat: bool = False,
     warmup_steps: int = 10000,
     sample_candidates: bool = False,
     full_eval_max_batches: Optional[int] = None,
@@ -167,6 +169,8 @@ def train(
         should_add_sep_token=should_add_sep_token,
         num_user_bins=num_user_bins,
         sample_candidates=sample_candidates,
+        t5_dtype=t5_dtype,
+        t5_remat=t5_remat,
     )
     model = EncoderDecoderRetrievalModel(cfg)
 

@@ -33,6 +33,10 @@ class SyntheticConfig:
     scale_mid: float = 1.0
     scale_leaf: float = 0.25
     noise: float = 0.05
+    # L2-normalize item features (sentence-T5 embeddings, which the real
+    # pipelines produce, are unit-norm; leaving features at raw hierarchy
+    # scale makes reconstruction gradients swamp the commitment term)
+    normalize_features: bool = True
     # sequences
     min_seq_len: int = 8
     max_seq_len: int = 20
@@ -67,6 +71,10 @@ def generate(cfg: SyntheticConfig = SyntheticConfig()) -> dict:
     item_features = (leaves[leaf_idx] + rng.randn(cfg.n_items, cfg.input_dim) * cfg.noise).astype(
         np.float32
     )
+    if cfg.normalize_features:
+        item_features /= np.maximum(
+            np.linalg.norm(item_features, axis=1, keepdims=True), 1e-6
+        )
     item_top_cluster = leaf_idx // (cfg.n_mid * cfg.n_leaf)
 
     if cfg.n_cat_feats > 0:

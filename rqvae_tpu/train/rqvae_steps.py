@@ -5,12 +5,20 @@ Replaces the reference hot loop (train_rqvae.py:174-216): forward + backward
 accumulation is a lax.scan over micro-batches. Data parallelism comes from
 sharding the batch over the mesh 'data' axis; GSPMD inserts the gradient
 all-reduce (the NCCL all-reduce at train_rqvae.py:195 in the reference).
+
+Two entry points:
+- make_rqvae_train_step:        step(state, x [A,B,D], key, t)
+- make_rqvae_index_train_step:  step(state, features [N,D], idx [A,B], key, t)
+  — device-resident corpus variant: the batch gather happens inside jit, so
+  per-iteration host work is just sampling A*B int32 indices. (The
+  reference ships features from host every step via its DataLoader; on TPU
+  that host path is ~60x slower than the fused step itself.)
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -20,14 +28,8 @@ from rqvae_tpu.models.rqvae import RqVae, RqVaeComputedLosses
 from rqvae_tpu.train.state import TrainState
 
 
-def make_rqvae_train_step(model: RqVae, tx: optax.GradientTransformation):
-    """Returns train_step(state, x, key, gumbel_t) -> (state, metrics).
-
-    x: [A, B, input_dim] with A = gradient_accumulate_every micro-batches
-    (A=1 for no accumulation). Loss is averaged over micro-batches, matching
-    the reference's loss/gradient_accumulate_every scaling
-    (train_rqvae.py:186-195).
-    """
+def _train_step_core(model: RqVae, tx: optax.GradientTransformation):
+    """Pure (unjitted) step over [A, B, D] micro-batches."""
 
     def loss_fn(params, x_micro, key, gumbel_t):
         out: RqVaeComputedLosses = model.apply(
@@ -44,8 +46,7 @@ def make_rqvae_train_step(model: RqVae, tx: optax.GradientTransformation):
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, x: jax.Array, key: jax.Array, gumbel_t: jax.Array):
+    def step(state: TrainState, x: jax.Array, key: jax.Array, gumbel_t: jax.Array):
         n_micro = x.shape[0]
 
         def micro(carry, inp):
@@ -64,6 +65,9 @@ def make_rqvae_train_step(model: RqVae, tx: optax.GradientTransformation):
             "p_unique_ids": 0.0,
             "emb_norms": jnp.zeros(model.config.n_layers),
         }
+        # fold the step counter in on-device: callers can pass the same root
+        # key every iteration without any host-side RNG work
+        key = jax.random.fold_in(key, state.step)
         keys = jax.random.split(key, n_micro)
         (grads, metrics), _ = jax.lax.scan(micro, (zero_grads, zero_metrics), (x, keys))
         grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
@@ -72,6 +76,26 @@ def make_rqvae_train_step(model: RqVae, tx: optax.GradientTransformation):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_rqvae_train_step(model: RqVae, tx: optax.GradientTransformation):
+    """train_step(state, x [A,B,D], key, gumbel_t) -> (state, metrics).
+
+    A = gradient_accumulate_every micro-batches; the loss/grad scaling
+    matches the reference (train_rqvae.py:186-195)."""
+    core = _train_step_core(model, tx)
+    return jax.jit(core, donate_argnums=(0,))
+
+
+def make_rqvae_index_train_step(model: RqVae, tx: optax.GradientTransformation):
+    """train_step(state, features [N,D], idx [A,B], key, gumbel_t)."""
+    core = _train_step_core(model, tx)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, features, idx, key, gumbel_t):
+        return core(state, features[idx], key, gumbel_t)
 
     return train_step
 

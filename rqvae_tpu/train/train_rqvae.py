@@ -34,7 +34,10 @@ from rqvae_tpu.ops.dedup import codebook_usage, pack_sem_id_tuples, tuple_entrop
 from rqvae_tpu.ops.schedules import TemperatureScheduler
 from rqvae_tpu.parallel import dist, mesh as mesh_lib
 from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
-from rqvae_tpu.train.rqvae_steps import make_rqvae_eval_step, make_rqvae_train_step
+from rqvae_tpu.train.rqvae_steps import (
+    make_rqvae_eval_step,
+    make_rqvae_index_train_step,
+)
 from rqvae_tpu.train.state import TrainState, adamw
 from rqvae_tpu.utils import checkpoint as ckpt_lib
 from rqvae_tpu.utils.logging import MetricLogger
@@ -139,9 +142,12 @@ def train(
 
     # replicate state over the mesh; batches are sharded on the data axis
     state = mesh_lib.replicate_pytree(mesh, state)
-    batch_sh = mesh_lib.batch_sharding(mesh, batch_axis=1)  # [A, B, D] -> B sharded
+    batch_sh = mesh_lib.batch_sharding(mesh, batch_axis=1)  # [A, B] -> B sharded
 
-    train_step = make_rqvae_train_step(model, tx)
+    # device-resident training features: per-step host work is index
+    # sampling only; the batch gather happens inside the jitted step
+    features_dev = mesh_lib.replicate_pytree(mesh, jnp.asarray(train_items.features))
+    train_step = make_rqvae_index_train_step(model, tx)
     eval_step = make_rqvae_eval_step(model)
     tokenizer = SemanticIdTokenizer(model, state.params)
 
@@ -172,11 +178,11 @@ def train(
     for it in range(start_iter, start_iter + iterations):
         if t_sched is not None:
             t = t_sched.get_t(it)
-        xs = np.stack(
-            [train_items.sample_batch(rng, batch_size) for _ in range(gradient_accumulate_every)]
-        )
-        xs = jax.device_put(xs, batch_sh)
-        state, metrics = train_step(state, xs, jax.random.fold_in(root_key, 10_000 + it), jnp.float32(t))
+        idx = rng.randint(
+            0, len(train_items), (gradient_accumulate_every, batch_size)
+        ).astype(np.int32)
+        idx = jax.device_put(idx, batch_sh)
+        state, metrics = train_step(state, features_dev, idx, root_key, jnp.float32(t))
 
         if it % log_every == 0 or it == start_iter + iterations - 1:
             host_metrics = {

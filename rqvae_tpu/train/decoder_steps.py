@@ -39,6 +39,53 @@ def make_decoder_train_step(model: EncoderDecoderRetrievalModel, tx: optax.Gradi
     return train_step
 
 
+def make_decoder_fused_train_step(
+    model: EncoderDecoderRetrievalModel,
+    tx: optax.GradientTransformation,
+    max_seq_len: int,
+    leave_two_out: bool = True,
+    subsample: bool = True,
+):
+    """Fully fused stage-2 step: on-device window subsampling (reference
+    data/processed.py:137-150 semantics) + cached-table tokenization
+    (semids.py:119-146) + forward/backward/AdamW, one XLA program.
+
+    Per-iteration host work is sampling [B] int32 row indices. Signature:
+      step(state, seq_items [R,T], seq_lengths [R], user_ids [R],
+           cached_ids [N, L+1], row_idx [B], key)
+    """
+    from rqvae_tpu.data.jax_sampling import eval_windows, subsample_windows
+    from rqvae_tpu.tokenizer.semids import _tokenize_from_cache
+
+    def loss_fn(params, batch, key):
+        out = model.apply(params, batch, training=True, rngs={"dropout": key})
+        return out.loss, {"total_loss": out.loss, "loss_d": out.loss_d}
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, seq_items, seq_lengths, user_ids, cached_ids, row_idx, key):
+        key = jax.random.fold_in(key, state.step)
+        k_samp, k_drop = jax.random.split(key)
+        if subsample:
+            hist, fut = subsample_windows(
+                k_samp, seq_items, seq_lengths, row_idx, max_seq_len, leave_two_out
+            )
+        else:
+            L = seq_lengths[row_idx]
+            hist_end = jnp.maximum(L - 2 if leave_two_out else L - 1, 1)
+            hist, fut = eval_windows(seq_items, seq_lengths, row_idx, hist_end, max_seq_len)
+        batch = _tokenize_from_cache(
+            cached_ids, user_ids[row_idx], hist, fut, hist >= 0
+        )
+        (_, metrics), grads = grad_fn(state.params, batch, k_drop)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
 def make_decoder_eval_step(model: EncoderDecoderRetrievalModel):
     @jax.jit
     def eval_step(params, batch: TokenizedSeqBatch):

@@ -37,7 +37,7 @@ from rqvae_tpu.serving.beam import build_prefix_table
 from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
 from rqvae_tpu.train.decoder_steps import (
     make_decoder_eval_step,
-    make_decoder_train_step,
+    make_decoder_fused_train_step,
     make_generate_fn,
 )
 from rqvae_tpu.train.state import TrainState, adamw
@@ -204,7 +204,19 @@ def train(
     state = mesh_lib.replicate_pytree(mesh, state)
     batch_sh = mesh_lib.batch_sharding(mesh, batch_axis=0)
 
-    train_step = make_decoder_train_step(model, tx)
+    # device-resident sequence store: per-step host work = sampling row
+    # indices; window subsampling + tokenization + train fuse into one jit
+    seq_items_dev = mesh_lib.replicate_pytree(mesh, jnp.asarray(train_dataset.seq_items))
+    seq_lengths_dev = mesh_lib.replicate_pytree(mesh, jnp.asarray(train_dataset.seq_lengths))
+    seq_users_dev = mesh_lib.replicate_pytree(mesh, jnp.asarray(train_dataset.user_ids))
+    cached_ids_dev = mesh_lib.replicate_pytree(mesh, tokenizer.cached_ids)
+    train_step = make_decoder_fused_train_step(
+        model,
+        tx,
+        max_seq_len=train_dataset.max_seq_len,
+        leave_two_out=(train_dataset.format == "leave_two_out"),
+        subsample=train_data_subsample,
+    )
     eval_step = make_decoder_eval_step(model)
     generate = make_generate_fn(model)
     accumulator = TopKAccumulator(ks=top_k_eval_list)
@@ -221,16 +233,20 @@ def train(
     ckpt_path = None
 
     for it in range(start_iter, start_iter + iterations):
-        batch = train_dataset.sample_batch(rng, batch_size, with_features=False)
-        tokenized = tokenizer(batch)
-        tokenized = jax.tree_util.tree_map(lambda a: jax.device_put(a, batch_sh), tokenized)
-        state, metrics = train_step(state, tokenized, jax.random.fold_in(root_key, 50_000 + it))
+        row_idx = jax.device_put(
+            rng.randint(0, len(train_dataset), batch_size).astype(np.int32), batch_sh
+        )
+        state, metrics = train_step(
+            state, seq_items_dev, seq_lengths_dev, seq_users_dev, cached_ids_dev, row_idx, root_key
+        )
 
         if it % log_every == 0 or it == start_iter + iterations - 1:
             host = jax.device_get(metrics)
             log = {"total_loss": float(host["total_loss"])}
             log.update({f"loss_{d}": float(v) for d, v in enumerate(host["loss_d"])})
-            seq_lengths = np.asarray(batch.seq_mask).sum(1).astype(np.float64)
+            seq_lengths = np.asarray(jax.device_get(seq_lengths_dev))[
+                np.asarray(jax.device_get(row_idx))
+            ].astype(np.float64)
             log.update(
                 {
                     f"train_seq_length_p{int(q * 100)}": float(np.quantile(seq_lengths, q))

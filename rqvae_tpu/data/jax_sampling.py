@@ -20,6 +20,34 @@ import jax
 import jax.numpy as jnp
 
 
+def subsample_windows_from_draws(
+    u_start: jax.Array,  # [B] uniform [0,1) draws
+    u_end: jax.Array,  # [B]
+    seq_items: jax.Array,
+    seq_lengths: jax.Array,
+    row_idx: jax.Array,
+    max_seq_len: int,
+    leave_two_out: bool = True,
+):
+    """Window sampling from pre-drawn uniforms. Lets callers batch ALL RNG
+    outside a lax.scan (per-step threefry inside a scan dominates the
+    fused train step's cost)."""
+    ml = max_seq_len
+    L = seq_lengths[row_idx]
+    M = jnp.maximum(L - 1 if leave_two_out else L, 1)
+    # python random.randint is inclusive both ends: start in [0, M-3]
+    starts = jnp.floor(u_start * jnp.maximum(1, M - 2)).astype(jnp.int32)
+    ends = jnp.minimum(starts + 3 + jnp.floor(u_end * (ml - 1)).astype(jnp.int32), M)
+    n = ends - starts
+
+    grid = starts[:, None] + jnp.arange(ml)[None, :]
+    ids = seq_items[row_idx[:, None], jnp.minimum(grid, seq_items.shape[1] - 1)]
+    mask = jnp.arange(ml)[None, :] < (n - 1)[:, None]
+    hist = jnp.where(mask, ids, -1)
+    fut = seq_items[row_idx, starts + n - 1]
+    return hist, fut
+
+
 @partial(jax.jit, static_argnames=("max_seq_len", "leave_two_out"))
 def subsample_windows(
     key: jax.Array,
@@ -30,22 +58,13 @@ def subsample_windows(
     leave_two_out: bool = True,
 ):
     """Returns (hist [B, max_seq_len] -1 padded, fut [B])."""
-    ml = max_seq_len
-    L = seq_lengths[row_idx]
-    M = jnp.maximum(L - 1 if leave_two_out else L, 1)
     k_start, k_end = jax.random.split(key)
     B = row_idx.shape[0]
-    # python random.randint is inclusive both ends: start in [0, M-3]
-    starts = jax.random.randint(k_start, (B,), 0, jnp.maximum(1, M - 2))
-    ends = jnp.minimum(starts + 3 + jax.random.randint(k_end, (B,), 0, ml - 1), M)
-    n = ends - starts
-
-    grid = starts[:, None] + jnp.arange(ml)[None, :]
-    ids = seq_items[row_idx[:, None], jnp.minimum(grid, seq_items.shape[1] - 1)]
-    mask = jnp.arange(ml)[None, :] < (n - 1)[:, None]
-    hist = jnp.where(mask, ids, -1)
-    fut = seq_items[row_idx, starts + n - 1]
-    return hist, fut
+    u_start = jax.random.uniform(k_start, (B,))
+    u_end = jax.random.uniform(k_end, (B,))
+    return subsample_windows_from_draws(
+        u_start, u_end, seq_items, seq_lengths, row_idx, max_seq_len, leave_two_out
+    )
 
 
 @partial(jax.jit, static_argnames=("max_seq_len",))

@@ -86,6 +86,75 @@ def make_decoder_fused_train_step(
     return train_step
 
 
+def make_decoder_scan_train_step(
+    model: EncoderDecoderRetrievalModel,
+    tx: optax.GradientTransformation,
+    max_seq_len: int,
+    n_steps: int,
+    batch_size: int,
+    leave_two_out: bool = True,
+    subsample: bool = True,
+    mesh=None,
+):
+    """Multi-step fused stage-2 training: lax.scan over n_steps of
+    (on-device row sampling -> window subsample -> tokenize -> fwd/bwd ->
+    AdamW) — one host dispatch per n_steps chunk. See
+    make_decoder_fused_train_step for the single-step semantics."""
+    from rqvae_tpu.data.jax_sampling import eval_windows, subsample_windows_from_draws
+    from rqvae_tpu.tokenizer.semids import _tokenize_from_cache
+
+    def loss_fn(params, batch, key):
+        out = model.apply(params, batch, training=True, rngs={"dropout": key})
+        return out.loss, {"total_loss": out.loss, "loss_d": out.loss_d}
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def constrain(x):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = [None] * x.ndim
+            spec[0] = "data"
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+        return x
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, seq_items, seq_lengths, user_ids, cached_ids, key):
+        n_rows = seq_items.shape[0]
+        # ALL randomness drawn in batched calls before the scan (per-step
+        # threefry inside a scan dominates the fused step cost)
+        chunk_key = jax.random.fold_in(key, state.step)
+        k_row, k_us, k_ue, k_drop = jax.random.split(chunk_key, 4)
+        row_idx_all = jax.random.randint(k_row, (n_steps, batch_size), 0, n_rows)
+        u_start_all = jax.random.uniform(k_us, (n_steps, batch_size))
+        u_end_all = jax.random.uniform(k_ue, (n_steps, batch_size))
+        drop_keys = jax.random.split(k_drop, n_steps)
+
+        def body(state, inp):
+            row_idx, u_start, u_end, kd = inp
+            if subsample:
+                hist, fut = subsample_windows_from_draws(
+                    u_start, u_end, seq_items, seq_lengths, row_idx, max_seq_len, leave_two_out
+                )
+            else:
+                L = seq_lengths[row_idx]
+                hist_end = jnp.maximum(L - 2 if leave_two_out else L - 1, 1)
+                hist, fut = eval_windows(seq_items, seq_lengths, row_idx, hist_end, max_seq_len)
+            hist, fut = constrain(hist), constrain(fut)
+            batch = _tokenize_from_cache(cached_ids, user_ids[row_idx], hist, fut, hist >= 0)
+            (_, metrics), grads = grad_fn(state.params, batch, kd)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), metrics
+
+        state, metrics = jax.lax.scan(
+            body, state, (row_idx_all, u_start_all, u_end_all, drop_keys)
+        )
+        return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    return multi_step
+
+
 def make_decoder_eval_step(model: EncoderDecoderRetrievalModel):
     @jax.jit
     def eval_step(params, batch: TokenizedSeqBatch):

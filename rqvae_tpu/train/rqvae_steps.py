@@ -100,6 +100,56 @@ def make_rqvae_index_train_step(model: RqVae, tx: optax.GradientTransformation):
     return train_step
 
 
+def make_rqvae_scan_train_step(
+    model: RqVae,
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    accum: int,
+    batch_size: int,
+    mesh=None,
+):
+    """Multi-step variant: lax.scan over `n_steps` index-gather train steps
+    with ON-DEVICE uniform index sampling — one dispatch per n_steps.
+
+    Host dispatch latency (notably over remoted TPU transports) otherwise
+    caps the loop at tens of it/s despite sub-ms steps. Returns
+    step(state, features, key) -> (state, mean_metrics). Gumbel temperature
+    is folded in per sub-step from the state's step counter via the same
+    key-folding as the single-step path.
+    """
+    core = _train_step_core(model, tx)
+
+    def constrain(x):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, "data", None))
+            )
+        return x
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, features: jax.Array, key: jax.Array, gumbel_t: jax.Array):
+        n_items = features.shape[0]
+        # ALL randomness drawn in one batched call before the scan —
+        # per-step threefry inside the loop costs ~6x the train step itself
+        chunk_key = jax.random.fold_in(key, state.step)
+        idx_all = jax.random.randint(
+            jax.random.fold_in(chunk_key, 1), (n_steps, accum, batch_size), 0, n_items
+        )
+        step_keys = jax.random.split(chunk_key, n_steps)
+
+        def body(state, inp):
+            idx, k = inp
+            x = constrain(features[idx])
+            return core(state, x, k, gumbel_t)
+
+        state, metrics = jax.lax.scan(body, state, (idx_all, step_keys))
+        return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    return multi_step
+
+
 def make_rqvae_eval_step(model: RqVae):
     """Eval-loss step (reference train_rqvae.py:236-256; eval-mode forward)."""
 

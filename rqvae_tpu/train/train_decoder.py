@@ -38,6 +38,7 @@ from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
 from rqvae_tpu.train.decoder_steps import (
     make_decoder_eval_step,
     make_decoder_fused_train_step,
+    make_decoder_scan_train_step,
     make_generate_fn,
 )
 from rqvae_tpu.train.state import TrainState, adamw
@@ -93,6 +94,8 @@ def train(
     full_eval_max_batches: Optional[int] = None,
     seed: int = 0,
     log_every: int = 100,
+    # steps per jit dispatch: None = auto (gcd of cadences), 1 = per-step
+    steps_per_loop: Optional[int] = None,
 ) -> dict:
     from rqvae_tpu.utils.debug import maybe_init_debug
 
@@ -232,21 +235,43 @@ def train(
     summary: dict = {}
     ckpt_path = None
 
-    for it in range(start_iter, start_iter + iterations):
-        row_idx = jax.device_put(
-            rng.randint(0, len(train_dataset), batch_size).astype(np.int32), batch_sh
-        )
-        state, metrics = train_step(
-            state, seq_items_dev, seq_lengths_dev, seq_users_dev, cached_ids_dev, row_idx, root_key
+    # chunked multi-step dispatch (see train_rqvae.py; same rationale)
+    import math
+
+    spl = 1
+    if steps_per_loop != 1:
+        cadences = [log_every, iterations, save_model_every, partial_eval_every, full_eval_every]
+        auto = math.gcd(*cadences)
+        spl = max(1, auto if steps_per_loop is None else math.gcd(steps_per_loop, auto))
+    if spl > 1:
+        scan_step = make_decoder_scan_train_step(
+            model, tx, max_seq_len=train_dataset.max_seq_len, n_steps=spl,
+            batch_size=batch_size, leave_two_out=(train_dataset.format == "leave_two_out"),
+            subsample=train_data_subsample, mesh=mesh,
         )
 
-        if it % log_every == 0 or it == start_iter + iterations - 1:
+    all_lengths = np.asarray(train_dataset.seq_lengths, np.float64)
+    it = start_iter - 1
+    while it + 1 < start_iter + iterations:
+        if spl > 1:
+            state, metrics = scan_step(
+                state, seq_items_dev, seq_lengths_dev, seq_users_dev, cached_ids_dev, root_key
+            )
+            it += spl
+        else:
+            it += 1
+            row_idx = jax.device_put(
+                rng.randint(0, len(train_dataset), batch_size).astype(np.int32), batch_sh
+            )
+            state, metrics = train_step(
+                state, seq_items_dev, seq_lengths_dev, seq_users_dev, cached_ids_dev, row_idx, root_key
+            )
+
+        if (it + 1) % log_every == 0 or it < start_iter + spl or it >= start_iter + iterations - 1:
             host = jax.device_get(metrics)
             log = {"total_loss": float(host["total_loss"])}
             log.update({f"loss_{d}": float(v) for d, v in enumerate(host["loss_d"])})
-            seq_lengths = np.asarray(jax.device_get(seq_lengths_dev))[
-                np.asarray(jax.device_get(row_idx))
-            ].astype(np.float64)
+            seq_lengths = all_lengths  # full-corpus length quantiles
             log.update(
                 {
                     f"train_seq_length_p{int(q * 100)}": float(np.quantile(seq_lengths, q))
@@ -255,7 +280,7 @@ def train(
             )
             logger.push_rolling({"total_loss": log["total_loss"]})
             log["rolling_total_loss"] = logger.rolling_means().get("total_loss", 0.0)
-            logger.log(it, log, echo=is_main and it % (log_every * 10) == 0)
+            logger.log(it, log, echo=is_main and (it + 1) % (log_every * 10) == 0)
             summary.update(log)
 
         if (it + 1) % partial_eval_every == 0:

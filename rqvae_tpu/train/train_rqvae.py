@@ -37,6 +37,7 @@ from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
 from rqvae_tpu.train.rqvae_steps import (
     make_rqvae_eval_step,
     make_rqvae_index_train_step,
+    make_rqvae_scan_train_step,
 )
 from rqvae_tpu.train.state import TrainState, adamw
 from rqvae_tpu.utils import checkpoint as ckpt_lib
@@ -82,6 +83,8 @@ def train(
     seed: int = 0,
     log_every: int = 100,
     kmeans_init_samples: int = 20000,
+    # steps per jit dispatch: None = auto (gcd of cadences), 1 = per-step
+    steps_per_loop: Optional[int] = None,
 ) -> dict:
     """Returns a summary dict with final metrics and checkpoint path."""
     from rqvae_tpu.utils.debug import maybe_init_debug
@@ -175,16 +178,41 @@ def train(
     summary: dict = {}
     ckpt_path = None
 
-    for it in range(start_iter, start_iter + iterations):
-        if t_sched is not None:
-            t = t_sched.get_t(it)
-        idx = rng.randint(
-            0, len(train_items), (gradient_accumulate_every, batch_size)
-        ).astype(np.int32)
-        idx = jax.device_put(idx, batch_sh)
-        state, metrics = train_step(state, features_dev, idx, root_key, jnp.float32(t))
+    # Chunked multi-step training: scan `spl` steps inside one jit with
+    # on-device index sampling — one host dispatch per chunk. Required when
+    # the runtime has per-dispatch latency (remoted TPUs). Falls back to
+    # per-step dispatch when the temperature anneals (t varies per step).
+    import math
 
-        if it % log_every == 0 or it == start_iter + iterations - 1:
+    spl = 1
+    if t_sched is None and steps_per_loop != 1:
+        cadences = [log_every, iterations, save_model_every]
+        if do_eval:
+            cadences.append(eval_every)
+        auto = math.gcd(*cadences)
+        spl = max(1, auto if steps_per_loop is None else math.gcd(steps_per_loop, auto))
+    if spl > 1:
+        scan_step = make_rqvae_scan_train_step(
+            model, tx, n_steps=spl, accum=gradient_accumulate_every,
+            batch_size=batch_size, mesh=mesh,
+        )
+
+    it = start_iter - 1
+    while it + 1 < start_iter + iterations:
+        if spl > 1:
+            state, metrics = scan_step(state, features_dev, root_key, jnp.float32(t))
+            it += spl
+        else:
+            it += 1
+            if t_sched is not None:
+                t = t_sched.get_t(it)
+            idx = rng.randint(
+                0, len(train_items), (gradient_accumulate_every, batch_size)
+            ).astype(np.int32)
+            idx = jax.device_put(idx, batch_sh)
+            state, metrics = train_step(state, features_dev, idx, root_key, jnp.float32(t))
+
+        if (it + 1) % log_every == 0 or it < start_iter + spl or it >= start_iter + iterations - 1:
             host_metrics = {
                 k: float(v) for k, v in jax.device_get(metrics).items() if np.ndim(v) == 0
             }

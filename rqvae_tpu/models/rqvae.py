@@ -200,6 +200,44 @@ class RqVae(nn.Module):
         )
 
 
+def restart_dead_codebook_entries(
+    key: jax.Array,
+    model: RqVae,
+    params,
+    x_sample: jax.Array,
+    min_usage: int = 1,
+) -> Tuple[dict, jax.Array]:
+    """Re-seed codebook entries that no sample uses from random residuals.
+
+    A quality extension beyond the reference (which lets dead codes stay
+    dead forever — STE/rotation gradients only reach selected codes,
+    quantize.py:131-153): codes whose usage over `x_sample` is below
+    `min_usage` are replaced by random residual vectors at that level,
+    which revives them for subsequent argmin assignment.
+
+    Returns (new_params, dead_counts [L]).
+    """
+    cfg = model.config
+    out = model.apply(params, x_sample, training=False, method=RqVae.get_semantic_ids)
+    codebooks = params["params"]["codebooks"]
+    new_levels, dead_counts = [], []
+    for level in range(cfg.n_layers):
+        ids = out.sem_ids[:, level]
+        usage = jnp.bincount(ids, length=cfg.codebook_size)
+        dead = usage < min_usage  # [K]
+        res = out.residuals[:, level]  # [B, D] quantizer inputs at this level
+        rk = jax.random.fold_in(key, level)
+        seed_idx = jax.random.randint(rk, (cfg.codebook_size,), 0, res.shape[0])
+        reseed = res[seed_idx]
+        new_levels.append(jnp.where(dead[:, None], reseed, codebooks[level]))
+        dead_counts.append(jnp.sum(dead))
+
+    new_params = dict(params)
+    new_params["params"] = dict(params["params"])
+    new_params["params"]["codebooks"] = jnp.stack(new_levels).astype(codebooks.dtype)
+    return new_params, jnp.stack(dead_counts)
+
+
 def kmeans_init_codebooks(
     key: jax.Array,
     model: RqVae,

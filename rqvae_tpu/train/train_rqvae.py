@@ -29,7 +29,12 @@ import numpy as np
 from rqvae_tpu.data.datasets import ItemDataset
 from rqvae_tpu.data.registry import RecDataset, ensure_dataset
 from rqvae_tpu.models.quantize import QuantizeForwardMode
-from rqvae_tpu.models.rqvae import RqVae, RqVaeConfig, kmeans_init_codebooks
+from rqvae_tpu.models.rqvae import (
+    RqVae,
+    RqVaeConfig,
+    kmeans_init_codebooks,
+    restart_dead_codebook_entries,
+)
 from rqvae_tpu.ops.dedup import codebook_usage, pack_sem_id_tuples, tuple_entropy
 from rqvae_tpu.ops.schedules import TemperatureScheduler
 from rqvae_tpu.parallel import dist, mesh as mesh_lib
@@ -85,6 +90,9 @@ def train(
     kmeans_init_samples: int = 20000,
     # steps per jit dispatch: None = auto (gcd of cadences), 1 = per-step
     steps_per_loop: Optional[int] = None,
+    # re-seed codebook entries unused on a corpus sample every N iters
+    # (quality extension beyond the reference; None = off)
+    codebook_restart_every: Optional[int] = None,
 ) -> dict:
     """Returns a summary dict with final metrics and checkpoint path."""
     from rqvae_tpu.utils.debug import maybe_init_debug
@@ -189,6 +197,8 @@ def train(
         cadences = [log_every, iterations, save_model_every]
         if do_eval:
             cadences.append(eval_every)
+        if codebook_restart_every:
+            cadences.append(codebook_restart_every)
         auto = math.gcd(*cadences)
         spl = max(1, auto if steps_per_loop is None else math.gcd(steps_per_loop, auto))
     if spl > 1:
@@ -228,6 +238,16 @@ def train(
                 echo=is_main and (it % (log_every * 10) == 0),
             )
             summary.update(host_metrics)
+
+        if codebook_restart_every and (it + 1) % codebook_restart_every == 0 and (
+            it + 1 != start_iter + iterations
+        ):
+            sample = jnp.asarray(train_items.head(kmeans_init_samples))
+            new_params, dead = restart_dead_codebook_entries(
+                jax.random.fold_in(root_key, 777 + it), model, state.params, sample
+            )
+            state = TrainState(new_params, state.opt_state, state.step)
+            logger.log(it, {f"restarted_codes_{i}": float(d) for i, d in enumerate(jax.device_get(dead))})
 
         do_cadence = (it + 1) % eval_every == 0 or it + 1 == start_iter + iterations
         if do_eval and do_cadence:

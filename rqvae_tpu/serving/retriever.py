@@ -33,6 +33,65 @@ class RetrievalResult(NamedTuple):
 
 
 class Retriever:
+    """history (item ids) -> top-k item ids. Build directly or via
+    `Retriever.from_checkpoints(rqvae_ckpt, decoder_ckpt, item_features)`."""
+
+    @classmethod
+    def from_checkpoints(
+        cls,
+        rqvae_checkpoint: str,
+        decoder_checkpoint: str,
+        item_features,
+        tokenize_batch_size: int = 8192,
+    ) -> "Retriever":
+        """Load both stage checkpoints, build the corpus index, and return
+        a ready-to-serve retriever."""
+        import jax as _jax
+        import numpy as _np
+
+        from rqvae_tpu.data.schemas import TokenizedSeqBatch
+        from rqvae_tpu.models.rqvae import RqVae, RqVaeConfig
+        from rqvae_tpu.models.retrieval import RetrievalConfig
+        from rqvae_tpu.utils import checkpoint as ckpt_lib
+
+        restored = ckpt_lib.load_checkpoint(rqvae_checkpoint)
+        vae_cfg = restored["config"]
+        assert isinstance(vae_cfg, RqVaeConfig), "not an RQ-VAE checkpoint"
+        rq_model = RqVae(vae_cfg)
+        x0 = jnp.asarray(np.asarray(item_features)[:2])
+        template = rq_model.init(
+            {"params": _jax.random.PRNGKey(0), "gumbel": _jax.random.PRNGKey(1)},
+            x0,
+            0.2,
+            training=True,
+        )
+        rq_params = ckpt_lib.load_checkpoint(rqvae_checkpoint, params_template=template)["params"]
+        tokenizer = SemanticIdTokenizer(rq_model, rq_params, tokenize_batch_size=tokenize_batch_size)
+        tokenizer.precompute_corpus_ids(np.asarray(item_features))
+
+        dec_restored = ckpt_lib.load_checkpoint(decoder_checkpoint)
+        dec_cfg = dec_restored["config"]
+        assert isinstance(dec_cfg, RetrievalConfig), "not a decoder checkpoint"
+        model = EncoderDecoderRetrievalModel(dec_cfg)
+        D = dec_cfg.num_hierarchies + 1
+        example = TokenizedSeqBatch(
+            user_ids=jnp.zeros(1, jnp.int32),
+            sem_ids=jnp.zeros((1, D), jnp.int32),
+            sem_ids_fut=jnp.zeros((1, D), jnp.int32),
+            seq_mask=jnp.ones((1, D), bool),
+            token_type_ids=jnp.zeros((1, D), jnp.int32),
+            token_type_ids_fut=jnp.zeros((1, D), jnp.int32),
+        )
+        dec_template = model.init(
+            {"params": _jax.random.PRNGKey(0), "dropout": _jax.random.PRNGKey(1)},
+            example,
+            training=True,
+        )
+        params = ckpt_lib.load_checkpoint(decoder_checkpoint, params_template=dec_template)[
+            "params"
+        ]
+        return cls(model, params, tokenizer)
+
     def __init__(
         self,
         model: EncoderDecoderRetrievalModel,

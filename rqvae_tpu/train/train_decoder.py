@@ -96,6 +96,8 @@ def train(
     log_every: int = 100,
     # steps per jit dispatch: None = auto (gcd of cadences), 1 = per-step
     steps_per_loop: Optional[int] = None,
+    # resume from the latest checkpoint in save_dir_root if one exists
+    auto_resume: bool = False,
 ) -> dict:
     from rqvae_tpu.utils.debug import maybe_init_debug
 
@@ -105,6 +107,11 @@ def train(
     is_main = dist.is_main_process()
     if amp:
         jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+    if auto_resume and pretrained_decoder_path is None:
+        pretrained_decoder_path = ckpt_lib.latest_checkpoint(save_dir_root)
+        if pretrained_decoder_path and is_main:
+            print(f"---Auto-resuming from {pretrained_decoder_path}---")
 
     data = ensure_dataset(dataset_folder, dataset, split=dataset_split, force=force_dataset_process)
     item_dataset = ItemDataset(data, "all")

@@ -93,6 +93,8 @@ def train(
     # re-seed codebook entries unused on a corpus sample every N iters
     # (quality extension beyond the reference; None = off)
     codebook_restart_every: Optional[int] = None,
+    # resume from the latest checkpoint in save_dir_root if one exists
+    auto_resume: bool = False,
 ) -> dict:
     """Returns a summary dict with final metrics and checkpoint path."""
     from rqvae_tpu.utils.debug import maybe_init_debug
@@ -103,6 +105,11 @@ def train(
     is_main = dist.is_main_process()
     if amp:
         jax.config.update("jax_default_matmul_precision", "bfloat16")
+
+    if auto_resume and pretrained_rqvae_path is None:
+        pretrained_rqvae_path = ckpt_lib.latest_checkpoint(save_dir_root)
+        if pretrained_rqvae_path and is_main:
+            print(f"---Auto-resuming from {pretrained_rqvae_path}---")
 
     data = ensure_dataset(dataset_folder, dataset, split=dataset_split, force=force_dataset_process)
     train_items = ItemDataset(data, "train" if do_eval else "all")

@@ -43,6 +43,7 @@ def _make_corpus(n=N_ITEMS, seed=0):
 def measure_jax() -> dict:
     import jax
     import jax.numpy as jnp
+    import numpy as _np
 
     from rqvae_tpu.models.quantize import QuantizeForwardMode
     from rqvae_tpu.models.rqvae import RqVae, RqVaeConfig, kmeans_init_codebooks
@@ -67,15 +68,18 @@ def measure_jax() -> dict:
     params = kmeans_init_codebooks(jax.random.PRNGKey(2), model, params, x0)
     tok = SemanticIdTokenizer(model, params, tokenize_batch_size=8192)
 
-    # warmup (compile)
-    out = tok.precompute_corpus_ids(corpus)
-    out.block_until_ready()
+    # warmup (compile) with a genuine value fetch — on remoted runtimes
+    # block_until_ready can resolve before execution finishes, so timings
+    # MUST sync by pulling a value to the host.
+    _np.asarray(tok.precompute_corpus_ids(corpus))
 
     runs = 5
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.int32)
     for _ in range(runs):
         out = tok.precompute_corpus_ids(corpus)
-        out.block_until_ready()
+        acc = acc + out[0, 0] + out[-1, -1]  # chain a dependency on each pass
+    int(_np.asarray(acc))  # single amortized sync
     dt = time.perf_counter() - t0
     ips = N_ITEMS * runs / dt
     return {"items_per_sec": ips, "device": str(dev), "seconds_per_pass": dt / runs}

@@ -35,35 +35,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(n_weights: int, n_levels: int, precision: str, x_ref, *refs):
+    # weights/codebooks arrive PRE-CAST to the compute dtype (casting them
+    # inside the kernel would repeat the conversion for every grid tile)
     w_refs = refs[:n_weights]
-    cb_ref = refs[n_weights]  # [L, K, D]
-    out_ref = refs[n_weights + 1]  # [rows, L] int32
+    cb_ref = refs[n_weights]  # [L, K, D] compute dtype
+    cb2_ref = refs[n_weights + 1]  # [L, K] f32 squared norms (precomputed)
+    out_ref = refs[n_weights + 2]  # [rows, L] int32
 
     cdtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     h = x_ref[:].astype(cdtype)
     for i in range(n_weights):
-        h = jnp.dot(h, w_refs[i][:].astype(cdtype), preferred_element_type=jnp.float32)
+        h = jnp.dot(h, w_refs[i][:], preferred_element_type=jnp.float32)
         if i != n_weights - 1:
-            h = jnp.maximum(h, 0.0)
-        if i != n_weights - 1:
+            h = jnp.maximum(h, 0.0).astype(cdtype)
+        else:
             h = h.astype(cdtype)
 
-    res = h  # f32 [rows, D]
+    res = h  # cdtype [rows, D]
     K = cb_ref.shape[1]
     ids_levels = []
     for level in range(n_levels):
-        cb = cb_ref[level].astype(jnp.float32)  # [K, D]
-        cb2 = jnp.sum(cb * cb, axis=-1)  # [K]
-        xc = jnp.dot(res.astype(cdtype), cb.T.astype(cdtype), preferred_element_type=jnp.float32)
+        cb = cb_ref[level]  # [K, D] cdtype
+        xc = jnp.dot(res, cb.T, preferred_element_type=jnp.float32)
         # argmin over ||res - cb||^2 == argmin over (cb^2 - 2 res.cb)
-        dist = cb2[None, :] - 2.0 * xc
+        dist = cb2_ref[level][None, :] - 2.0 * xc
         ids = jnp.argmin(dist, axis=-1).astype(jnp.int32)
         ids_levels.append(ids)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], K), 1) == ids[:, None]).astype(
             cdtype
         )
-        res = res - jnp.dot(onehot, cb.astype(cdtype), preferred_element_type=jnp.float32)
+        res = (res.astype(jnp.float32) - jnp.dot(onehot, cb, preferred_element_type=jnp.float32)).astype(cdtype)
     out_ref[:] = jnp.stack(ids_levels, axis=1)
 
 
@@ -84,6 +86,12 @@ def fused_encode_quantize(
     assert N % block_rows == 0, (N, block_rows)
     n_weights = len(weights)
 
+    cdtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    cb_f32 = codebooks.astype(jnp.float32)
+    cb2 = jnp.sum(cb_f32 * cb_f32, axis=-1)  # [L, K] f32, once per call
+    weights = tuple(w.astype(cdtype) for w in weights)  # once per call
+    codebooks_c = codebooks.astype(cdtype)
+
     grid = (N // block_rows,)
     in_specs = [
         pl.BlockSpec((block_rows, input_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -91,8 +99,9 @@ def fused_encode_quantize(
     for w in weights:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     in_specs.append(
-        pl.BlockSpec(codebooks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(codebooks_c.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     )
+    in_specs.append(pl.BlockSpec(cb2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_kernel, n_weights, n_levels, precision)
     flops_mlp = 2 * N * sum(a.shape[0] * a.shape[1] for a in weights)
@@ -115,7 +124,7 @@ def fused_encode_quantize(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, *weights, codebooks)
+    )(x, *weights, codebooks_c, cb2)
 
 
 def encoder_weights_from_params(params) -> Tuple[jax.Array, ...]:

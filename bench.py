@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-N_ITEMS = 16384
+N_ITEMS = 65536
 INPUT_DIM = 768
 HIDDEN = [512, 256, 128]
 EMBED = 32

@@ -46,10 +46,11 @@ def pack_sem_id_tuples(sem_ids: jax.Array, codebook_size: int) -> jax.Array:
             f"(x64 enabled: {jax.config.jax_enable_x64})"
         )
     ids = sem_ids.astype(dtype)
-    key = jnp.zeros(sem_ids.shape[:-1], dtype=dtype)
-    for l in range(L):
-        key = (key << bits) | ids[..., l]
-    return key
+    # weighted row-sum instead of a per-level shift/or loop: one contiguous
+    # multiply + reduce over the (tiny) last axis — the sequential column
+    # variant costs ~60ms at N=65k on TPU due to lane-padded column ops
+    mults = jnp.asarray([1 << (bits * (L - 1 - l)) for l in range(L)], dtype=dtype)
+    return jnp.sum(ids * mults, axis=-1, dtype=dtype)
 
 
 @jax.jit

@@ -108,35 +108,58 @@ class SemanticIdTokenizer:
         self._corpus_src = item_features
         return self._corpus_dev
 
-    def precompute_corpus_ids(self, item_features: np.ndarray) -> jax.Array:
-        """Tokenize the whole corpus and build the dedup'd ID table [N, L+1]."""
-        n = item_features.shape[0]
+    def _build_index_fn(self, n: int, block: int):
+        """One jitted program for the whole index build: encode (Pallas or
+        XLA) -> pack -> sort-dedup -> concat. A single dispatch per pass —
+        per-call dispatch overhead otherwise dominates on remoted runtimes."""
         cfg = self.model.config
-        if self.use_pallas:
+        use_pallas = self.use_pallas
+        precision = self.pallas_precision
+        interpret = jax.default_backend() != "tpu"
+        model = self.model
+        if use_pallas:
             from rqvae_tpu.ops.pallas.rq_encode import (
                 encoder_weights_from_params,
                 fused_encode_quantize,
             )
 
-            block = 256
-            x = self._device_corpus(item_features, block)
-            ids = fused_encode_quantize(
-                x,
-                encoder_weights_from_params(self.params),
-                self.params["params"]["codebooks"],
-                n_levels=cfg.n_layers,
-                block_rows=block,
-                precision=self.pallas_precision,
-                interpret=jax.default_backend() != "tpu",
-            )[:n]
-        else:
-            b = min(self.tokenize_batch_size, n)
-            x = self._device_corpus(item_features, b)
-            ids = self._corpus_ids(self.params, x.reshape(-1, b, x.shape[1]))[:n]
+        @jax.jit
+        def build(params, x):
+            if use_pallas:
+                ids = fused_encode_quantize(
+                    x,
+                    encoder_weights_from_params(params),
+                    params["params"]["codebooks"],
+                    n_levels=cfg.n_layers,
+                    block_rows=block,
+                    precision=precision,
+                    interpret=interpret,
+                )[:n]
+            else:
+                b = min(self.tokenize_batch_size, x.shape[0])
+                ids = jax.lax.map(
+                    lambda xc: model.apply(
+                        params, xc, training=False, method=RqVae.get_semantic_ids
+                    ).sem_ids,
+                    x.reshape(-1, b, x.shape[1]),
+                ).reshape(-1, cfg.n_layers)[:n]
+            keys = pack_sem_id_tuples(ids, cfg.codebook_size)
+            dedup = dedup_counts_from_keys(keys)
+            return jnp.concatenate([ids, dedup[:, None].astype(ids.dtype)], axis=1)
 
-        keys = pack_sem_id_tuples(ids, cfg.codebook_size)
-        dedup = dedup_counts_from_keys(keys)
-        self.cached_ids = jnp.concatenate([ids, dedup[:, None].astype(ids.dtype)], axis=1)
+        return build
+
+    def precompute_corpus_ids(self, item_features: np.ndarray) -> jax.Array:
+        """Tokenize the whole corpus and build the dedup'd ID table [N, L+1]."""
+        n = item_features.shape[0]
+        # b512 measured ~6ms/65k items on v5e; b256 hits a slow Mosaic schedule
+        block = 512 if self.use_pallas else min(self.tokenize_batch_size, n)
+        x = self._device_corpus(item_features, block)
+        cache_key = (n, block, x.shape[1])
+        if getattr(self, "_build_cache_key", None) != cache_key:
+            self._build_index = self._build_index_fn(n, block)
+            self._build_cache_key = cache_key
+        self.cached_ids = self._build_index(self.params, x)
         return self.cached_ids
 
     def __call__(self, batch: SeqBatch) -> TokenizedSeqBatch:

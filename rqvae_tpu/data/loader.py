@@ -13,9 +13,6 @@ from typing import Iterator, Optional
 import jax
 import numpy as np
 
-from rqvae_tpu.data.schemas import SeqBatch
-
-
 def infinite_batches(dataset, batch_size: int, seed: int = 0, **kw) -> Iterator:
     """Infinite stream of randomly sampled batches (reference cycle())."""
     rng = np.random.RandomState(seed)

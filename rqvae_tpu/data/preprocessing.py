@@ -18,7 +18,7 @@ encoder="st" to require the real model.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ shapes; -1 marks padding everywhere (reference data/processed.py:137-160).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 

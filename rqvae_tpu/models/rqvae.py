@@ -21,8 +21,8 @@ first-forward mutation (reference quantize.py:107-108).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, NamedTuple, Optional, Tuple
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

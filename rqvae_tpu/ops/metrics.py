@@ -16,7 +16,6 @@ from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def topk_hit_metrics(actual: jax.Array, top_k: jax.Array, ks: Sequence[int] = (1, 5, 10)):

@@ -17,8 +17,7 @@ This is the "items/sec tokenized" benchmark path.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,14 +10,12 @@ train_decoder.py:205).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
 
 from rqvae_tpu.data.schemas import TokenizedSeqBatch
-from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel, GenerationOutput
+from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
 from rqvae_tpu.serving.beam import PrefixTable
 from rqvae_tpu.train.state import TrainState
 

@@ -15,8 +15,6 @@ import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
-
 from rqvae_tpu.utils.checkpoint import _config_to_jsonable, _jsonable_to_config
 
 

@@ -73,7 +73,7 @@ def load_reference_rqvae_checkpoint(path: str):
     the RqVae.__init__ locals() dict (rqvae.py:52)."""
     import torch
 
-    from rqvae_tpu.models.quantize import QuantizeDistance, QuantizeForwardMode
+    from rqvae_tpu.models.quantize import QuantizeForwardMode
     from rqvae_tpu.models.rqvae import RqVaeConfig
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

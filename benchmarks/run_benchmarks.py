@@ -21,11 +21,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _block(x):
-    import jax
+def _sync(x):
+    """Genuine sync: fetch a value to the host. On remoted TPU transports
+    jax.block_until_ready can resolve before execution finishes (see
+    RESULTS.md), so timings MUST pull values."""
+    import numpy as _np
 
-    jax.block_until_ready(x)
-    return x
+    return _np.asarray(x).ravel()[0]
 
 
 def bench_tokenization(n_items=65536, batch=8192, runs=5):
@@ -49,10 +51,10 @@ def bench_tokenization(n_items=65536, batch=8192, runs=5):
     )
     params = kmeans_init_codebooks(jax.random.PRNGKey(2), model, params, x0)
     tok = SemanticIdTokenizer(model, params, tokenize_batch_size=batch)
-    _block(tok.precompute_corpus_ids(corpus))  # compile + corpus upload
+    _sync(tok.precompute_corpus_ids(corpus))  # compile + corpus upload
     t0 = time.perf_counter()
     for _ in range(runs):
-        _block(tok.precompute_corpus_ids(corpus))
+        _sync(tok.precompute_corpus_ids(corpus))
     dt = (time.perf_counter() - t0) / runs
     return {"corpus_tokenization_items_per_sec": n_items / dt, "corpus_n_items": n_items}
 
@@ -91,10 +93,10 @@ def bench_beam(B=64, k=10, n_corpus=20000, n_items_seq=20, runs=10):
     corpus = jnp.asarray(rng.randint(0, K, (n_corpus, L)))
     table = build_prefix_table(corpus, K)
     gen = make_generate_fn(model)
-    _block(gen(params, batch, table).sem_ids)
+    _sync(gen(params, batch, table).sem_ids)
     t0 = time.perf_counter()
     for _ in range(runs):
-        _block(gen(params, batch, table).sem_ids)
+        _sync(gen(params, batch, table).sem_ids)
     dt = (time.perf_counter() - t0) / runs
     return {"beam_search_queries_per_sec": B / dt, "beam_batch": B, "beam_k": k}
 
@@ -125,11 +127,11 @@ def bench_train_steps(runs=20):
     state = TrainState.create(params, tx)
     step = make_rqvae_train_step(model, tx)
     state, m = step(state, x, jax.random.PRNGKey(0), jnp.float32(0.2))
-    _block(m["total_loss"])
+    _sync(m["total_loss"])
     t0 = time.perf_counter()
     for i in range(runs):
         state, m = step(state, x, jax.random.PRNGKey(i), jnp.float32(0.2))
-    _block(m["total_loss"])
+    _sync(m["total_loss"])
     dt = (time.perf_counter() - t0) / runs
     out["rqvae_train_examples_per_sec"] = B / dt
 
@@ -162,11 +164,11 @@ def bench_train_steps(runs=20):
     rstate = TrainState.create(rparams, rtx)
     rstep = make_decoder_train_step(rmodel, rtx)
     rstate, rm = rstep(rstate, batch, jax.random.PRNGKey(0))
-    _block(rm["total_loss"])
+    _sync(rm["total_loss"])
     t0 = time.perf_counter()
     for i in range(runs):
         rstate, rm = rstep(rstate, batch, jax.random.PRNGKey(i))
-    _block(rm["total_loss"])
+    _sync(rm["total_loss"])
     dt = (time.perf_counter() - t0) / runs
     out["decoder_train_examples_per_sec"] = B / dt
     return out

@@ -241,7 +241,11 @@ class EncoderDecoderRetrievalModel(nn.Module):
         # --- level 0: all beams share the empty prefix ---
         dec = self.decoder_forward(None, enc, enc_mask)[:, -1]  # [B, d]
         logp0 = head_logprobs(dec, 0)  # [B, K]
-        zero_keys = jnp.zeros((B,), prefix_table.level_keys[0].dtype)
+        # packed-key dtype (NOT bool — dense levels store bitmaps; a dense
+        # level-0 implies small keys, so int32 is always safe there)
+        t0 = prefix_table.level_keys[0]
+        key_dtype = jnp.int32 if t0.dtype == jnp.bool_ else t0.dtype
+        zero_keys = jnp.zeros((B,), key_dtype)
         r0 = jax.random.fold_in(rng, 0) if rng is not None else None
         scores0, cand0 = candidate_scores(logp0, zero_keys, 0, r0)  # [B, n]
         top_scores, top_idx = jax.lax.top_k(scores0, k)  # [B, k]

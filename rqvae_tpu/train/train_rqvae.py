@@ -93,6 +93,9 @@ def train(
     # re-seed codebook entries unused on a corpus sample every N iters
     # (quality extension beyond the reference; None = off)
     codebook_restart_every: Optional[int] = None,
+    # stop restarting after this iteration so the codebook settles before
+    # the end of training (None = restart through the whole run)
+    codebook_restart_until: Optional[int] = None,
     # resume from the latest checkpoint in save_dir_root if one exists
     auto_resume: bool = False,
 ) -> dict:
@@ -248,7 +251,7 @@ def train(
 
         if codebook_restart_every and (it + 1) % codebook_restart_every == 0 and (
             it + 1 != start_iter + iterations
-        ):
+        ) and (codebook_restart_until is None or it < codebook_restart_until):
             sample = jnp.asarray(train_items.head(kmeans_init_samples))
             new_params, dead = restart_dead_codebook_entries(
                 jax.random.fold_in(root_key, 777 + it), model, state.params, sample

@@ -163,6 +163,19 @@ def train(
 
     tokenizer = SemanticIdTokenizer(rq_model, rq_params)
     cached_ids = tokenizer.precompute_corpus_ids(item_dataset.features)
+
+    if push_vae_to_hf and is_main:
+        # reference train_decoder.py:127-129 pushes the trained tokenizer
+        from rqvae_tpu.utils import hub as hub_lib
+
+        export_dir = hub_lib.save_pretrained(
+            os.path.join(save_dir_root, "rqvae_export"), rq_params, vae_cfg
+        )
+        try:
+            url = hub_lib.push_to_hub(export_dir, vae_hf_model_name or "rqvae-tokenizer")
+            print(f"Pushed tokenizer to {url}")
+        except Exception as e:  # no network / no login: keep the local export
+            print(f"[hub] push failed ({e}); local export kept at {export_dir}")
     corpus_ids = cached_ids[:, : vae_cfg.n_layers]
     prefix_table = build_prefix_table(corpus_ids, vae_cfg.codebook_size)
 

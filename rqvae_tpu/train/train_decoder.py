@@ -262,7 +262,13 @@ def train(
     if steps_per_loop != 1:
         cadences = [log_every, iterations, save_model_every, partial_eval_every, full_eval_every]
         auto = math.gcd(*cadences)
-        spl = max(1, auto if steps_per_loop is None else math.gcd(steps_per_loop, auto))
+        if steps_per_loop is None:
+            # cap auto chunks: very long scan chunks have been observed to
+            # crash remoted TPU workers, and 250-500 already amortizes
+            # dispatch latency fully
+            spl = max(1, math.gcd(auto, 500))
+        else:
+            spl = max(1, math.gcd(steps_per_loop, auto))
     if spl > 1:
         scan_step = make_decoder_scan_train_step(
             model, tx, max_seq_len=train_dataset.max_seq_len, n_steps=spl,

@@ -210,7 +210,13 @@ def train(
         if codebook_restart_every:
             cadences.append(codebook_restart_every)
         auto = math.gcd(*cadences)
-        spl = max(1, auto if steps_per_loop is None else math.gcd(steps_per_loop, auto))
+        if steps_per_loop is None:
+            # cap auto chunks: very long scan chunks have been observed to
+            # crash remoted TPU workers, and 250-500 already amortizes
+            # dispatch latency fully
+            spl = max(1, math.gcd(auto, 500))
+        else:
+            spl = max(1, math.gcd(steps_per_loop, auto))
     if spl > 1:
         scan_step = make_rqvae_scan_train_step(
             model, tx, n_steps=spl, accum=gradient_accumulate_every,

@@ -41,6 +41,7 @@ from rqvae_tpu.data.schemas import TokenizedSeqBatch
 from rqvae_tpu.models.t5 import T5Stack, T5StackConfig
 from rqvae_tpu.serving.beam import PrefixTable, extend_keys, is_valid_prefix
 from rqvae_tpu.models.mlp import torch_linear_init
+from rqvae_tpu.ops.embedding import embedding_lookup
 
 NEG_INF = -1e9
 
@@ -136,7 +137,9 @@ class EncoderDecoderRetrievalModel(nn.Module):
         B, T = sem_ids.shape
         mask = seq_mask.astype(jnp.int32)
         shifted = (sem_ids + self._offsets(T)[None, :]) * mask  # padding -> row 0, masked out
-        embs = self.sid_embedding[shifted]  # [B, T, d]
+        # matmul-backward lookup: the default scatter-add gradient dominates
+        # the train step on TPU (see ops/embedding.py)
+        embs = embedding_lookup(self.sid_embedding, shifted)  # [B, T, d]
 
         if cfg.should_add_sep_token:
             L = cfg.num_hierarchies
@@ -170,7 +173,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
         if fut_ids is not None and fut_ids.shape[1] > 0:
             T = fut_ids.shape[1]
             shifted = fut_ids + self._offsets(T)[None, :]
-            embs = jnp.concatenate([bos, self.sid_embedding[shifted]], axis=1)
+            embs = jnp.concatenate([bos, embedding_lookup(self.sid_embedding, shifted)], axis=1)
         else:
             embs = bos
         return self.decoder(

@@ -137,14 +137,18 @@ def make_rqvae_scan_train_step(
         idx_all = jax.random.randint(
             jax.random.fold_in(chunk_key, 1), (n_steps, accum, batch_size), 0, n_items
         )
-        step_keys = jax.random.split(chunk_key, n_steps)
+        # per-step model rng (gumbel noise) on the hardware-friendly rbg
+        # generator — threefry inside a scan costs multiples of the step
+        step_seeds = jax.random.randint(
+            jax.random.fold_in(chunk_key, 2), (n_steps,), 0, 2**31 - 1
+        )
 
         def body(state, inp):
-            idx, k = inp
+            idx, seed = inp
             x = constrain(features[idx])
-            return core(state, x, k, gumbel_t)
+            return core(state, x, jax.random.key(seed, impl="rbg"), gumbel_t)
 
-        state, metrics = jax.lax.scan(body, state, (idx_all, step_keys))
+        state, metrics = jax.lax.scan(body, state, (idx_all, step_seeds))
         return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
 
     return multi_step

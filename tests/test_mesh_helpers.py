@@ -1,0 +1,63 @@
+"""Mesh helper coverage: global batch assembly and sharding specs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rqvae_tpu.data.schemas import SeqBatch
+from rqvae_tpu.parallel.mesh import (
+    batch_sharding,
+    global_batch_from_process_local,
+    make_mesh,
+    replicate_pytree,
+)
+
+
+class TestGlobalBatch:
+    def test_single_process_assembly(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh()
+        batch = SeqBatch(
+            user_ids=np.arange(16),
+            ids=np.arange(16 * 4).reshape(16, 4),
+            ids_fut=np.arange(16),
+            x=np.ones((16, 4, 3), np.float32),
+            x_fut=np.ones((16, 3), np.float32),
+            seq_mask=np.ones((16, 4), bool),
+        )
+        g = global_batch_from_process_local(mesh, batch)
+        assert g.ids.shape == (16, 4)
+        sh = g.ids.sharding
+        assert sh.is_fully_addressable
+        # batch dim sharded over 8 devices -> each shard has 2 rows
+        shard_shapes = {s.data.shape for s in g.ids.addressable_shards}
+        assert shard_shapes == {(2, 4)}
+        np.testing.assert_array_equal(np.asarray(g.ids), batch.ids)
+
+    def test_replicated_params_on_all_devices(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh()
+        p = replicate_pytree(mesh, {"w": jnp.ones((4, 4))})
+        assert len(p["w"].addressable_shards) == 8
+        assert all(s.data.shape == (4, 4) for s in p["w"].addressable_shards)
+
+
+class TestProfilerTrace:
+    def test_trace_context_writes_files(self, tmp_path):
+        from rqvae_tpu.utils.profiling import trace
+
+        @jax.jit
+        def f(x):
+            return x @ x
+
+        with trace(str(tmp_path)):
+            jax.block_until_ready(f(jnp.ones((64, 64))))
+        import os
+
+        found = []
+        for root, _, files in os.walk(tmp_path):
+            found.extend(files)
+        assert found, "no trace files written"

@@ -239,6 +239,7 @@ def train(
         max_seq_len=train_dataset.max_seq_len,
         leave_two_out=(train_dataset.format == "leave_two_out"),
         subsample=train_data_subsample,
+        accum=gradient_accumulate_every,
     )
     eval_step = make_decoder_eval_step(model)
     generate = make_generate_fn(model)
@@ -273,10 +274,9 @@ def train(
         scan_step = make_decoder_scan_train_step(
             model, tx, max_seq_len=train_dataset.max_seq_len, n_steps=spl,
             batch_size=batch_size, leave_two_out=(train_dataset.format == "leave_two_out"),
-            subsample=train_data_subsample, mesh=mesh,
+            subsample=train_data_subsample, mesh=mesh, accum=gradient_accumulate_every,
         )
 
-    all_lengths = np.asarray(train_dataset.seq_lengths, np.float64)
     it = start_iter - 1
     while it + 1 < start_iter + iterations:
         if spl > 1:
@@ -287,7 +287,10 @@ def train(
         else:
             it += 1
             row_idx = jax.device_put(
-                rng.randint(0, len(train_dataset), batch_size).astype(np.int32), batch_sh
+                rng.randint(
+                    0, len(train_dataset), gradient_accumulate_every * batch_size
+                ).astype(np.int32),
+                batch_sh,
             )
             state, metrics = train_step(
                 state, seq_items_dev, seq_lengths_dev, seq_users_dev, cached_ids_dev, row_idx, root_key
@@ -297,12 +300,10 @@ def train(
             host = jax.device_get(metrics)
             log = {"total_loss": float(host["total_loss"])}
             log.update({f"loss_{d}": float(v) for d, v in enumerate(host["loss_d"])})
-            seq_lengths = all_lengths  # full-corpus length quantiles
+            # per-batch tokenized seq-length quantiles, computed in-step
+            # (reference modules/utils.py:25-44)
             log.update(
-                {
-                    f"train_seq_length_p{int(q * 100)}": float(np.quantile(seq_lengths, q))
-                    for q in (0.25, 0.5, 0.75, 0.9, 1.0)
-                }
+                {f"train_{k}": float(v) for k, v in host.items() if k.startswith("seq_length_p")}
             )
             logger.push_rolling({"total_loss": log["total_loss"]})
             log["rolling_total_loss"] = logger.rolling_means().get("total_loss", 0.0)

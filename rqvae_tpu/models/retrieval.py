@@ -24,8 +24,9 @@ TPU-first design decisions:
   (serving/beam.py) instead of the O(N_corpus * B * k * n) equality
   broadcast (model.py:169-182).
 - Two candidate modes: exhaustive top-k over all K codewords per level
-  (deterministic, default) and the reference's multinomial sampling of
-  n_candidates (model.py:314,345) with an explicit rng key.
+  (deterministic, default) and the reference's multinomial-without-
+  replacement sampling of n_candidates (model.py:314,345), implemented as
+  Gumbel top-k with an explicit rng key.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ from rqvae_tpu.models.t5 import T5Stack, T5StackConfig
 from rqvae_tpu.serving.beam import PrefixTable, extend_keys, is_valid_prefix
 from rqvae_tpu.models.mlp import torch_linear_init
 from rqvae_tpu.ops.embedding import embedding_lookup
+from rqvae_tpu.ops.gumbel import sample_without_replacement
 
 NEG_INF = -1e9
 
@@ -230,8 +232,15 @@ class EncoderDecoderRetrievalModel(nn.Module):
             """Return (scores [.., n_cand], cand_ids [.., n_cand]) with
             invalid prefixes masked to -inf."""
             if cfg.sample_candidates:
-                n_cands = min(cfg.n_candidates, K)
-                samples = jax.random.categorical(rng_h, logp[..., None, :].repeat(n_cands, -2), axis=-1)
+                # at least k candidates so the level-0 top-k over [B, n_cands]
+                # is well-defined (the reference's working regime is
+                # n_cands=64 >= top_k=10, model.py:314)
+                n_cands = min(max(cfg.n_candidates, k), K)
+                # without replacement (Gumbel top-k), matching the
+                # reference's torch.multinomial(probas, n_cands)
+                # (model.py:345) — candidates per level are DISTINCT, so
+                # no beam slots are wasted on duplicates
+                samples = sample_without_replacement(rng_h, logp, n_cands)
                 samp_logp = jnp.take_along_axis(logp, samples, axis=-1)
                 keys = extend_keys(prefix_table, parent_keys[..., None], samples)
                 valid = is_valid_prefix(prefix_table, h, keys)

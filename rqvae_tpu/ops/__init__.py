@@ -10,7 +10,11 @@ Reference-parity surface (citations into /root/reference):
 - dedup.py        <- modules/tokenizer/semids.py:92-108 (sort-based, not O(N^2))
 """
 
-from rqvae_tpu.ops.gumbel import gumbel_softmax_sample, sample_gumbel
+from rqvae_tpu.ops.gumbel import (
+    gumbel_softmax_sample,
+    sample_gumbel,
+    sample_without_replacement,
+)
 from rqvae_tpu.ops.normalize import l2norm
 from rqvae_tpu.ops.losses import (
     reconstruction_loss,

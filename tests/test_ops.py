@@ -47,6 +47,38 @@ class TestGumbel:
         assert int(jnp.argmax(w)) == 0
         assert float(w.max()) > 0.999
 
+    def test_without_replacement_distinct(self):
+        # every draw of n indices must be distinct (reference model.py:345
+        # uses torch.multinomial without replacement)
+        from rqvae_tpu.ops import sample_without_replacement
+
+        logp = jax.nn.log_softmax(jnp.asarray(np.random.RandomState(0).randn(64, 16)))
+        idx = np.asarray(sample_without_replacement(jax.random.PRNGKey(0), logp, 8))
+        assert idx.shape == (64, 8)
+        for row in idx:
+            assert len(set(row.tolist())) == 8
+        # n = K exhausts the support: each row is a permutation of 0..K-1
+        full = np.asarray(sample_without_replacement(jax.random.PRNGKey(1), logp, 16))
+        for row in full:
+            assert sorted(row.tolist()) == list(range(16))
+
+    def test_without_replacement_first_draw_marginal(self):
+        # the first index has the plain categorical marginal: chi-square
+        # check against softmax(logp) over many draws
+        from rqvae_tpu.ops import sample_without_replacement
+
+        logp = jax.nn.log_softmax(jnp.asarray([0.5, -0.3, 1.2, 0.0]))
+        n_draws = 20_000
+        idx = np.asarray(
+            sample_without_replacement(
+                jax.random.PRNGKey(3), jnp.tile(logp, (n_draws, 1)), 2
+            )
+        )[:, 0]
+        counts = np.bincount(idx, minlength=4)
+        expect = np.asarray(jax.nn.softmax(logp)) * n_draws
+        chi2 = float(((counts - expect) ** 2 / expect).sum())
+        assert chi2 < 16.3, f"chi2={chi2} counts={counts} expect={expect}"  # df=3, p=0.001
+
 
 class TestNormalize:
     def test_matches_torch_normalize_semantics(self):

@@ -55,3 +55,20 @@ class TemperatureScheduler:
     def get_t(self, iteration: int) -> float:
         self.update_t(iteration)
         return self.t
+
+
+def gumbel_temperature_at(step, t0: float, min_t: float, anneal_rate: float, step_size: int):
+    """Closed form of TemperatureScheduler.get_t called sequentially for
+    every iteration up to `step` — a pure function of step, so it runs
+    INSIDE jit/lax.scan (the host-stateful class forces per-step dispatch).
+
+    By `step`, n = (step+1)//step_size updates have fired, at iterations
+    j*step_size - 1 (j=1..n); their exponents sum to
+    step_size*n(n+1)/2 - n, and the clamp commutes with the monotone
+    product, so t = max(t0 * exp(-rate * sum), min_t).
+    """
+    import jax.numpy as jnp
+
+    n = (step + 1) // step_size
+    s = step_size * n * (n + 1) // 2 - n
+    return jnp.maximum(t0 * jnp.exp(-anneal_rate * jnp.asarray(s, jnp.float32)), min_t)

@@ -40,6 +40,7 @@ def _train_step_core(model: RqVae, tx: optax.GradientTransformation):
             "reconstruction_loss": out.reconstruction_loss,
             "rqvae_loss": out.rqvae_loss,
             "p_unique_ids": out.p_unique_ids,
+            "gumbel_t": jnp.asarray(gumbel_t, jnp.float32),
             "emb_norms": jnp.mean(out.embs_norm, axis=0),  # [L]
         }
         return out.loss, metrics
@@ -63,6 +64,7 @@ def _train_step_core(model: RqVae, tx: optax.GradientTransformation):
             "reconstruction_loss": 0.0,
             "rqvae_loss": 0.0,
             "p_unique_ids": 0.0,
+            "gumbel_t": jnp.float32(0.0),
             "emb_norms": jnp.zeros(model.config.n_layers),
         }
         # fold the step counter in on-device: callers can pass the same root
@@ -107,15 +109,21 @@ def make_rqvae_scan_train_step(
     accum: int,
     batch_size: int,
     mesh=None,
+    t_fn=None,
 ):
     """Multi-step variant: lax.scan over `n_steps` index-gather train steps
     with ON-DEVICE uniform index sampling — one dispatch per n_steps.
 
     Host dispatch latency (notably over remoted TPU transports) otherwise
     caps the loop at tens of it/s despite sub-ms steps. Returns
-    step(state, features, key) -> (state, mean_metrics). Gumbel temperature
-    is folded in per sub-step from the state's step counter via the same
-    key-folding as the single-step path.
+    step(state, features, key, gumbel_t) -> (state, mean_metrics).
+
+    t_fn: optional pure function step -> temperature evaluated INSIDE the
+    scan body (the exponential anneal, ops/schedules.gumbel_temperature_at);
+    when set it overrides the gumbel_t argument, keeping annealed training
+    on the chunked fast path (round-1 VERDICT Weak #6: the host-stateful
+    scheduler forced per-step dispatch, a 10-100x wall-clock cliff on
+    remoted runtimes).
     """
     core = _train_step_core(model, tx)
 
@@ -146,7 +154,8 @@ def make_rqvae_scan_train_step(
         def body(state, inp):
             idx, seed = inp
             x = constrain(features[idx])
-            return core(state, x, jax.random.key(seed, impl="rbg"), gumbel_t)
+            t = t_fn(state.step) if t_fn is not None else gumbel_t
+            return core(state, x, jax.random.key(seed, impl="rbg"), t)
 
         state, metrics = jax.lax.scan(body, state, (idx_all, step_seeds))
         return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)

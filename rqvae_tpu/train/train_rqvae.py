@@ -198,12 +198,13 @@ def train(
 
     # Chunked multi-step training: scan `spl` steps inside one jit with
     # on-device index sampling — one host dispatch per chunk. Required when
-    # the runtime has per-dispatch latency (remoted TPUs). Falls back to
-    # per-step dispatch when the temperature anneals (t varies per step).
+    # the runtime has per-dispatch latency (remoted TPUs). The temperature
+    # anneal stays on this fast path: t is a pure function of step
+    # (gumbel_temperature_at) computed inside the scan body.
     import math
 
     spl = 1
-    if t_sched is None and steps_per_loop != 1:
+    if steps_per_loop != 1:
         cadences = [log_every, iterations, save_model_every]
         if do_eval:
             cadences.append(eval_every)
@@ -218,9 +219,22 @@ def train(
         else:
             spl = max(1, math.gcd(steps_per_loop, auto))
     if spl > 1:
+        t_fn = None
+        if t_sched is not None:
+            from functools import partial
+
+            from rqvae_tpu.ops.schedules import gumbel_temperature_at
+
+            t_fn = partial(
+                gumbel_temperature_at,
+                t0=gumbel_temperature,
+                min_t=gumbel_min_t,
+                anneal_rate=gumbel_anneal_rate,
+                step_size=gumbel_anneal_step_size,
+            )
         scan_step = make_rqvae_scan_train_step(
             model, tx, n_steps=spl, accum=gradient_accumulate_every,
-            batch_size=batch_size, mesh=mesh,
+            batch_size=batch_size, mesh=mesh, t_fn=t_fn,
         )
 
     it = start_iter - 1
@@ -228,6 +242,15 @@ def train(
         if spl > 1:
             state, metrics = scan_step(state, features_dev, root_key, jnp.float32(t))
             it += spl
+            if t_sched is not None:  # host mirror for logging / eval passes
+                from rqvae_tpu.ops.schedules import gumbel_temperature_at
+
+                t = float(
+                    gumbel_temperature_at(
+                        it, gumbel_temperature, gumbel_min_t,
+                        gumbel_anneal_rate, gumbel_anneal_step_size,
+                    )
+                )
         else:
             it += 1
             if t_sched is not None:

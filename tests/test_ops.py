@@ -182,6 +182,23 @@ class TestSchedules:
         assert t_vals[-1] >= 0.1
         assert all(a >= b for a, b in zip(t_vals, t_vals[1:]))
 
+    def test_closed_form_temperature_matches_stateful(self):
+        # gumbel_temperature_at must reproduce the sequentially-driven
+        # stateful scheduler exactly (it is what runs inside lax.scan)
+        from rqvae_tpu.ops.schedules import gumbel_temperature_at
+
+        for t0, min_t, rate, step_size in [
+            (1.0, 0.1, 0.01, 10),
+            (0.2, 0.05, 1e-4, 1000),
+            (0.7, 0.3, 0.05, 7),
+            (0.5, 0.4999, 0.001, 3),  # clamps almost immediately
+        ]:
+            ts = TemperatureScheduler(t0=t0, min_t=min_t, anneal_rate=rate, step_size=step_size)
+            for i in range(3000):
+                want = ts.get_t(i)
+                got = float(gumbel_temperature_at(i, t0, min_t, rate, step_size))
+                assert got == pytest.approx(want, rel=1e-5), (t0, rate, step_size, i)
+
 
 class TestTopKMetrics:
     def test_against_bruteforce(self):

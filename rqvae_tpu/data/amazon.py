@@ -62,17 +62,35 @@ def process_amazon(
     encoder: str = "auto",
     eval_item_frac: float = 0.05,
     seed: int = 42,
+    download: bool = True,
 ) -> str:
     raw_dir = os.path.join(root, "raw", split)
     seq_path = os.path.join(raw_dir, "sequential_data.txt")
     maps_path = os.path.join(raw_dir, "datamaps.json")
     meta_path = os.path.join(raw_dir, "meta.json.gz")
-    for p in (seq_path, maps_path, meta_path):
-        if not os.path.exists(p):
+    if not all(os.path.exists(p) for p in (seq_path, maps_path, meta_path)):
+        # one-command pipeline on networked hosts (reference amazon.py:54-60
+        # downloads the P5 zip; the archive extracts to data/{split}/...)
+        from rqvae_tpu.data.download import fetch_zip_members
+
+        if not download:
             raise FileNotFoundError(
-                f"Missing raw file {p}. This environment cannot download; place "
-                f"the extracted P5 data (gdrive id {GDRIVE_ID}) under {raw_dir}/."
+                f"Missing raw files under {raw_dir} (download=False). Place "
+                f"the extracted P5 data (gdrive id {GDRIVE_ID}) under "
+                f"{os.path.join(root, 'raw')}/{{split}}/."
             )
+        try:
+            print(f"downloading P5 data (gdrive {GDRIVE_ID}) ...")
+            fetch_zip_members(
+                GDRIVE_ID, os.path.join(root, "raw"), "data",
+                gdrive=True, archive_name="P5_data.zip",
+            )
+        except Exception as e:
+            raise FileNotFoundError(
+                f"Missing raw files under {raw_dir} and auto-download failed "
+                f"({e}). On an offline host, place the extracted P5 data "
+                f"(gdrive id {GDRIVE_ID}) under {os.path.join(root, 'raw')}/{{split}}/."
+            ) from e
 
     # --- user sequences (full histories; ids remapped 1-based -> 0-based) ---
     user_ids, sequences = [], []

@@ -35,6 +35,8 @@ GENRES_1M = [
     "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
 ]
 
+URL = "https://files.grouplens.org/datasets/movielens/ml-1m.zip"
+
 
 def process_ml1m(
     root: str,
@@ -43,14 +45,27 @@ def process_ml1m(
     max_seq_len: int = 200,
     eval_item_frac: float = 0.05,
     seed: int = 42,
+    download: bool = True,
 ) -> str:
     raw = os.path.join(root, "raw")
-    for name in ("movies.dat", "ratings.dat"):
-        if not os.path.exists(os.path.join(raw, name)):
+    if not all(os.path.exists(os.path.join(raw, n)) for n in ("movies.dat", "ratings.dat")):
+        # one-command pipeline on networked hosts (the reference delegates
+        # to torch_geometric.datasets.MovieLens1M's grouplens download)
+        from rqvae_tpu.data.download import fetch_zip_members
+
+        if not download:
             raise FileNotFoundError(
-                f"Missing {os.path.join(raw, name)}; download ml-1m.zip from "
-                f"grouplens.org and extract into {raw}/."
+                f"Missing raw files under {raw} (download=False); download "
+                f"{URL} and extract into {raw}/."
             )
+        try:
+            print(f"downloading {URL} ...")
+            fetch_zip_members(URL, raw, "ml-1m", archive_name="ml-1m.zip")
+        except Exception as e:
+            raise FileNotFoundError(
+                f"Missing raw files under {raw} and auto-download failed ({e}). "
+                f"On an offline host, download {URL} and extract into {raw}/."
+            ) from e
 
     ratings = pd.read_csv(
         os.path.join(raw, "ratings.dat"),
@@ -68,6 +83,27 @@ def process_ml1m(
         encoding="ISO-8859-1",
         engine="python",
     )
+
+    # user demographics (reference ml1m.py:59-82): [age_idx, gender, occ_idx]
+    # per user surviving the >=5-rating filter on the RAW ratings. Dummies
+    # over STR values, so occupation index order is lexicographic ("10"<"2"),
+    # exactly as the reference's str.get_dummies().argmax.
+    user_features = user_feature_ids = None
+    users_path = os.path.join(raw, "users.dat")
+    if os.path.exists(users_path):
+        users = pd.read_csv(
+            users_path, sep="::", header=None,
+            names=["userId", "gender", "age", "occupation", "zip"],
+            dtype="str", encoding="ISO-8859-1", engine="python",
+        )
+        uc = ratings["userId"].value_counts()
+        keep_u = users["userId"].astype(np.int64).isin(uc[uc >= 5].index)
+        udf = users[keep_u]
+        age = pd.get_dummies(udf["age"]).values.argmax(axis=1)
+        gender = pd.get_dummies(udf["gender"]).values[:, 0]
+        occupation = pd.get_dummies(udf["occupation"]).values.argmax(axis=1)
+        user_features = np.stack([age, gender, occupation], axis=1).astype(np.float32)
+        user_feature_ids = udf["userId"].astype(np.int64).to_numpy()
 
     # >=5-occurrence filtering (movies then users), reference ml1m.py:44,76
     keep_movies = movies["movieId"].isin(
@@ -110,6 +146,9 @@ def process_ml1m(
         "item_text": np.asarray(titles),
         **hist,
     }
+    if user_features is not None:
+        out["user_features"] = user_features
+        out["user_feature_ids"] = user_feature_ids
     path = os.path.join(root, "processed", "data.npz")
     save(path, out)
     return path

@@ -41,13 +41,26 @@ def process_ml32m(
     stride: int = 180,
     eval_item_frac: float = 0.05,
     seed: int = 42,
+    download: bool = True,
 ) -> str:
     raw = os.path.join(root, "raw")
-    for name in ("movies.csv", "ratings.csv"):
-        if not os.path.exists(os.path.join(raw, name)):
+    if not all(os.path.exists(os.path.join(raw, n)) for n in ("movies.csv", "ratings.csv")):
+        # one-command pipeline on networked hosts (reference ml32m.py:40-42)
+        from rqvae_tpu.data.download import fetch_zip_members
+
+        if not download:
             raise FileNotFoundError(
-                f"Missing {os.path.join(raw, name)}; download {URL} and extract into {raw}/."
+                f"Missing raw files under {raw} (download=False); download "
+                f"{URL} and extract into {raw}/."
             )
+        try:
+            print(f"downloading {URL} ...")
+            fetch_zip_members(URL, raw, "ml-32m", archive_name="ml-32m.zip")
+        except Exception as e:
+            raise FileNotFoundError(
+                f"Missing raw files under {raw} and auto-download failed ({e}). "
+                f"On an offline host, download {URL} and extract into {raw}/."
+            ) from e
 
     ratings = pd.read_csv(os.path.join(raw, "ratings.csv"))
     movies = pd.read_csv(os.path.join(raw, "movies.csv"))

@@ -111,8 +111,8 @@ class TestAmazonPipeline:
         assert b.ids_fut[0] == 4  # seq 0: [0..5], items[-2]=4
 
     def test_missing_raw_raises(self, tmp_path):
-        with pytest.raises(FileNotFoundError, match="cannot download"):
-            process_amazon(str(tmp_path), split="beauty")
+        with pytest.raises(FileNotFoundError, match="download=False"):
+            process_amazon(str(tmp_path), split="beauty", download=False)
 
 
 @pytest.fixture
@@ -128,6 +128,12 @@ def ml1m_root(tmp_path):
             # each user rates 8 movies over time
             for t, m in enumerate(rng.permutation(10)[:8] + 1):
                 f.write(f"{u}::{m}::4::{u * 1000 + t}\n")
+    with open(raw / "users.dat", "w", encoding="ISO-8859-1") as f:
+        # userId::gender::age::occupation::zip (reference ml1m.py USER_HEADERS)
+        ages = ["1", "18", "25", "35", "45", "50"]
+        occs = ["0", "10", "2", "15", "4", "20"]
+        for u in range(1, 7):
+            f.write(f"{u}::{'F' if u % 2 else 'M'}::{ages[u - 1]}::{occs[u - 1]}::12345\n")
     return str(tmp_path)
 
 
@@ -147,6 +153,24 @@ class TestML1MPipeline:
         assert b.ids.shape == (8, 5)
         be = ev.batch(np.arange(min(4, len(ev))))
         assert (be.ids_fut >= 0).all()
+
+    def test_user_demographics(self, ml1m_root):
+        # reference ml1m.py:59-82: [age_dummies.argmax, gender first dummy
+        # col (F before M lexicographically), occupation str-dummies argmax]
+        process_ml1m(ml1m_root, encoder="hash", max_seq_len=5, stride=2)
+        data = load_processed(ml1m_root)
+        uf = data["user_features"]
+        uids = data["user_feature_ids"]
+        assert uf.shape == (6, 3)
+        np.testing.assert_array_equal(uids, np.arange(1, 7))
+        # ages "1","18","25","35","45","50" sort lexicographically in the
+        # written order -> age index == user index
+        np.testing.assert_array_equal(uf[:, 0], np.arange(6))
+        # gender: first dummy column is "F" (users 1,3,5 -> rows 0,2,4)
+        np.testing.assert_array_equal(uf[:, 1], [1, 0, 1, 0, 1, 0])
+        # occupations "0","10","2","15","4","20" sorted lexicographically:
+        # 0,10,15,2,20,4 -> indices written order [0,1,3,2,5,4]
+        np.testing.assert_array_equal(uf[:, 2], [0, 1, 3, 2, 5, 4])
 
 
 @pytest.fixture

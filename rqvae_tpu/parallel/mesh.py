@@ -55,6 +55,18 @@ def replicate_pytree(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
 
 
+def commit_scalars(mesh: Mesh, tree):
+    """Re-commit 0-d leaves to the mesh (replicated), leaving other leaves'
+    shardings untouched. Checkpoint restores commit scalar leaves (e.g. the
+    optimizer step count) to a single device; jit then rejects mixing them
+    with mesh-sharded params. Run this over a restored state before
+    resuming on a mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh) if getattr(a, "ndim", None) == 0 else a, tree
+    )
+
+
 def global_batch_from_process_local(mesh: Mesh, batch, batch_axis: int = 0):
     """Multi-host batch assembly: each process holds its local slice of the
     global batch; builds the global jax.Array sharded over 'data'

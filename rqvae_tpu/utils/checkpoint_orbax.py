@@ -34,7 +34,11 @@ def save_checkpoint_orbax(
         payload["opt_state"] = opt_state
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    meta = {"config": _config_to_jsonable(config), "step": int(step)}
+    meta = {
+        "config": _config_to_jsonable(config),
+        "step": int(step),
+        "has_opt_state": opt_state is not None,
+    }
     with open(os.path.join(path, "rqvae_meta.json"), "w") as f:
         json.dump(meta, f)
     return path
@@ -50,13 +54,40 @@ def load_checkpoint_orbax(
     path = os.path.abspath(path)
     with open(os.path.join(path, "rqvae_meta.json")) as f:
         meta = json.load(f)
+    has_opt = bool(meta.get("has_opt_state", True))
     target: Optional[dict] = None
-    if params_template is not None:
+    if params_template is not None and (opt_state_template is not None or not has_opt):
         target = {"params": params_template}
         if opt_state_template is not None:
             target["opt_state"] = opt_state_template
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, target) if target is not None else ckptr.restore(path)
+        if target is not None:
+            try:
+                restored = ckptr.restore(path, target)
+            except ValueError:
+                # template/on-disk structure mismatch (e.g. checkpoint saved
+                # with opt_state, params-only template): raw-restore + relay
+                target = None
+                restored = ckptr.restore(path)
+        else:
+            restored = ckptr.restore(path)
+    if target is None and params_template is not None:
+        # partial restore (params template only, checkpoint also has
+        # opt_state): raw-restore then re-lay the params out onto the
+        # template's shardings — supports resuming on a different topology
+        import jax
+        import jax.numpy as jnp
+
+        def relay(t, v):
+            v = jnp.asarray(v)
+            if hasattr(t, "sharding"):
+                return jax.device_put(v, t.sharding)
+            return v
+
+        restored = dict(restored)
+        restored["params"] = jax.tree_util.tree_map(
+            relay, params_template, restored["params"]
+        )
     out = dict(restored)
     out["step"] = int(meta["step"])
     out["config"] = _jsonable_to_config(meta.get("config"))

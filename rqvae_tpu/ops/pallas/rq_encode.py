@@ -13,8 +13,13 @@ The kernel therefore:
   intermediate,
 - writes only the [rows, L] int32 semantic IDs back.
 
-HBM traffic = one read of the corpus + the id write, i.e. the kernel is
-input-bandwidth-bound — speed-of-light for this op.
+HBM traffic = one read of the corpus + the id write, so the roofline is
+~0.5 ms for 65k x 768 rows on v5e (201 MB at ~800 GB/s, ~80 GFLOP at bf16
+peak). Measured: 2.88 ms device time at block_rows=512 (out/r2/
+profile_index.py, 50-iteration amortized) — ~6x off roofline; the grid's
+small per-tile matmuls (contraction dims 128/32 under-fill the MXU) and
+the VPU argmin/one-hot epilogue dominate. In practice the whole index
+build (3.66 ms device) is transport-dominated on remoted runtimes.
 
 The residual subtract uses a one-hot matmul (MXU) instead of a row gather,
 which Pallas/Mosaic lowers poorly. Distances are always accumulated in
@@ -34,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(n_weights: int, n_levels: int, precision: str, x_ref, *refs):
+def _kernel(n_weights: int, n_levels: int, precision: str, pack_bits: int, x_ref, *refs):
     # weights/codebooks arrive PRE-CAST to the compute dtype (casting them
     # inside the kernel would repeat the conversion for every grid tile)
     w_refs = refs[:n_weights]
@@ -66,11 +71,21 @@ def _kernel(n_weights: int, n_levels: int, precision: str, x_ref, *refs):
             cdtype
         )
         res = (res.astype(jnp.float32) - jnp.dot(onehot, cb, preferred_element_type=jnp.float32)).astype(cdtype)
-    out_ref[:] = jnp.stack(ids_levels, axis=1)
+    cols = list(ids_levels)
+    if pack_bits:
+        # epilogue pack: the [rows] lexicographic key the dedup sort and the
+        # beam-search trie consume — a few VPU ops here instead of a
+        # separate XLA pass over the ids
+        packed = cols[0]
+        for l in range(1, n_levels):
+            packed = (packed << pack_bits) | cols[l]
+        cols.append(packed)
+    out_ref[:] = jnp.stack(cols, axis=1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_levels", "block_rows", "precision", "interpret")
+    jax.jit,
+    static_argnames=("n_levels", "block_rows", "precision", "interpret", "emit_packed"),
 )
 def fused_encode_quantize(
     x: jax.Array,  # [N, input_dim], N a multiple of block_rows
@@ -80,11 +95,21 @@ def fused_encode_quantize(
     block_rows: int = 256,
     precision: str = "f32",
     interpret: bool = False,
+    emit_packed: bool = False,
 ) -> jax.Array:
-    """Returns [N, L] int32 semantic IDs."""
+    """Returns [N, L] int32 semantic IDs; with emit_packed=True, [N, L+1]
+    whose last column is the lexicographic packed key (ops/dedup.py
+    pack_sem_id_tuples semantics, computed in the kernel epilogue)."""
     N, input_dim = x.shape
     assert N % block_rows == 0, (N, block_rows)
     n_weights = len(weights)
+    pack_bits = 0
+    if emit_packed:
+        from rqvae_tpu.ops.dedup import id_bits
+
+        pack_bits = id_bits(codebooks.shape[1])
+        assert n_levels * pack_bits <= 31, (n_levels, pack_bits)
+    n_cols = n_levels + (1 if emit_packed else 0)
 
     cdtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     cb_f32 = codebooks.astype(jnp.float32)
@@ -103,7 +128,7 @@ def fused_encode_quantize(
     )
     in_specs.append(pl.BlockSpec(cb2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_kernel, n_weights, n_levels, precision)
+    kernel = functools.partial(_kernel, n_weights, n_levels, precision, pack_bits)
     flops_mlp = 2 * N * sum(a.shape[0] * a.shape[1] for a in weights)
     flops_q = 2 * N * n_levels * codebooks.shape[1] * codebooks.shape[2] * 2
     return pl.pallas_call(
@@ -111,12 +136,12 @@ def fused_encode_quantize(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (block_rows, n_levels), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_rows, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((N, n_levels), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((N, n_cols), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=flops_mlp + flops_q,
-            bytes_accessed=x.size * x.dtype.itemsize + N * n_levels * 4,
+            bytes_accessed=x.size * x.dtype.itemsize + N * n_cols * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(

@@ -268,6 +268,21 @@ class TestDedup:
         got = np.asarray(dedup_counts(jnp.array(ids), 64))
         np.testing.assert_array_equal(got, np.zeros(50, dtype=np.int32))
 
+    def test_dense_dedup_matches_oracle_and_sort(self):
+        from rqvae_tpu.ops.dedup import dedup_counts_dense, packed_key_space
+
+        rng = np.random.RandomState(2)
+        for n, K, chunk in [(200, 3, 64), (515, 4, 128), (64, 5, 64), (1000, 2, 256)]:
+            ids = rng.randint(0, K, (n, 3))
+            keys = pack_sem_id_tuples(jnp.array(ids), K)
+            want = self._oracle(ids)
+            got_dense = np.asarray(
+                dedup_counts_dense(keys, key_space=packed_key_space(K, 3), chunk=chunk)
+            )
+            got_sort = np.asarray(dedup_counts(jnp.array(ids), K))
+            np.testing.assert_array_equal(got_dense, want)
+            np.testing.assert_array_equal(got_sort, want)
+
     def test_entropy_and_usage(self):
         ids = np.array([[0, 0], [0, 0], [1, 1], [2, 2]])
         keys = pack_sem_id_tuples(jnp.array(ids), 4)

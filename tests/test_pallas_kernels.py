@@ -95,3 +95,25 @@ class TestFusedEncodeQuantize:
         dev1 = tok._corpus_dev
         tok.precompute_corpus_ids(x)
         assert tok._corpus_dev is dev1
+
+    def test_emit_packed_epilogue(self):
+        # last column == pack_sem_id_tuples of the id columns
+        from rqvae_tpu.ops.dedup import pack_sem_id_tuples
+
+        model, params, x = _setup(n=512)
+        weights = encoder_weights_from_params(params)
+        cbs = params["params"]["codebooks"]
+        out = fused_encode_quantize(
+            jnp.asarray(x), weights, cbs, n_levels=3, block_rows=256,
+            precision="f32", interpret=True, emit_packed=True,
+        )
+        assert out.shape == (512, 4)
+        ids, packed = out[:, :3], out[:, 3]
+        plain = fused_encode_quantize(
+            jnp.asarray(x), weights, cbs, n_levels=3, block_rows=256,
+            precision="f32", interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(plain))
+        np.testing.assert_array_equal(
+            np.asarray(packed), np.asarray(pack_sem_id_tuples(ids, 256))
+        )

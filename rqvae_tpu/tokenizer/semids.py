@@ -103,7 +103,14 @@ class SemanticIdTokenizer:
             return self._corpus_dev
         x = np.zeros((n_pad, item_features.shape[1]), np.float32)
         x[:n] = item_features
-        self._corpus_dev = jnp.asarray(x)
+        if self.sharding is not None:
+            # corpus rows sharded over the mesh (e.g. the 'data' axis): the
+            # encode runs data-parallel and GSPMD gathers for the global
+            # dedup sort (SURVEY §5.7: the corpus tensors are the memory
+            # axis worth sharding, not the tiny sequences)
+            self._corpus_dev = jax.device_put(x, self.sharding)
+        else:
+            self._corpus_dev = jnp.asarray(x)
         self._corpus_src = item_features
         return self._corpus_dev
 

@@ -183,3 +183,36 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestShardedTokenizer:
+    def test_sharded_corpus_build_matches_unsharded(self):
+        # corpus rows sharded over 'data' (SURVEY §5.7): same index table
+        _require_8()
+        from rqvae_tpu.models.rqvae import kmeans_init_codebooks
+        from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
+
+        cfg = RqVaeConfig(
+            input_dim=32, embed_dim=8, hidden_dims=(16,), codebook_size=16,
+            n_layers=3, n_cat_feats=0, codebook_mode=QuantizeForwardMode.STE,
+        )
+        model = RqVae(cfg)
+        rng = np.random.RandomState(0)
+        corpus = rng.randn(512, 32).astype(np.float32)
+        x0 = jnp.asarray(corpus[:128])
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+            x0, 0.2, training=True,
+        )
+        params = kmeans_init_codebooks(jax.random.PRNGKey(2), model, params, x0)
+
+        plain = SemanticIdTokenizer(model, params, tokenize_batch_size=128)
+        ids_plain = np.asarray(plain.precompute_corpus_ids(corpus))
+
+        mesh = make_mesh()
+        sharded = SemanticIdTokenizer(
+            model, replicate_pytree(mesh, params), tokenize_batch_size=128,
+            sharding=batch_sharding(mesh, batch_axis=0),
+        )
+        out = sharded.precompute_corpus_ids(corpus)
+        np.testing.assert_array_equal(np.asarray(out), ids_plain)

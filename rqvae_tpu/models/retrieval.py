@@ -65,6 +65,9 @@ class RetrievalConfig:
     sample_candidates: bool = False  # False = exhaustive top-k (deterministic)
     t5_dtype: str = "float32"  # "bfloat16" -> 2x MXU compute, f32 params
     t5_remat: bool = False  # jax.checkpoint each block (memory at scale)
+    # fused Pallas attention (ops/pallas/attention.py): "auto" | "off" |
+    # "interpret" — see T5StackConfig.fused_attention
+    t5_fused_attention: str = "auto"
 
     @property
     def t5(self) -> T5StackConfig:
@@ -77,6 +80,7 @@ class RetrievalConfig:
             dropout=self.t5_dropout,
             dtype=self.t5_dtype,
             remat=self.t5_remat,
+            fused_attention=self.t5_fused_attention,
         )
 
 

@@ -56,6 +56,14 @@ class T5StackConfig:
     # rematerialize each block in the backward pass (jax.checkpoint):
     # trades recompute FLOPs for activation memory at large batch/seq.
     remat: bool = False
+    # fused Pallas attention kernel (ops/pallas/attention.py):
+    #   "auto"      — on for single-device TPU when the query length is big
+    #                 enough to matter (the encoder; the <=4-token decoder
+    #                 stays on XLA). Multi-device jit falls back to XLA —
+    #                 a pallas_call inside a GSPMD program replicates.
+    #   "off"       — always the XLA path.
+    #   "interpret" — force the kernel in interpreter mode (CPU tests).
+    fused_attention: str = "auto"
 
     @property
     def compute_dtype(self):
@@ -109,6 +117,22 @@ class T5Attention(nn.Module):
     has_relative_bias: bool = False
     bidirectional: bool = True  # bucket scheme for the relative bias
 
+    def _use_fused(self, lq: int, lk: int) -> bool:
+        mode = self.cfg.fused_attention
+        if mode == "interpret":
+            return True
+        if mode == "off":
+            return False
+        # "auto": single-device TPU, and a big enough score tensor that
+        # fusing beats XLA (the <=4-token decoder self/cross attention is
+        # cheaper unfused than padded to kernel tiles)
+        return (
+            lq >= 16
+            and lk >= 16
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -135,9 +159,6 @@ class T5Attention(nn.Module):
         k = k.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
 
-        # T5: no 1/sqrt(d) scaling; scores accumulate in f32
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-
         if position_bias is None and self.has_relative_bias:
             ctx = jnp.arange(Lq)[:, None]
             mem = jnp.arange(Lk)[None, :]
@@ -149,18 +170,43 @@ class T5Attention(nn.Module):
             )
             position_bias = bias_table[buckets].transpose(2, 0, 1)[None]  # [1,H,Lq,Lk]
 
-        if position_bias is not None:
-            scores = scores + position_bias
+        if self._use_fused(Lq, Lk):
+            from rqvae_tpu.ops.pallas.attention import t5_attention
 
-        if mask is not None:
-            scores = scores + jnp.where(mask[:, None, None, :], 0.0, NEG_INF)
-        if causal:
-            cmask = jnp.tril(jnp.ones((Lq, Lk), bool))
-            scores = scores + jnp.where(cmask[None, None], 0.0, NEG_INF)
+            rate = float(cfg.dropout) if training else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            bias_in = (
+                position_bias[0]
+                if position_bias is not None
+                else jnp.zeros((cfg.num_heads, Lq, Lk), jnp.float32)
+            )
+            mask_in = mask if mask is not None else jnp.ones((B, Lk), jnp.int32)
+            out = t5_attention(
+                q, k, v, bias_in, mask_in, seed,
+                causal=causal,
+                dropout_rate=rate,
+                interpret=cfg.fused_attention == "interpret",
+            ).astype(dt)
+        else:
+            # T5: no 1/sqrt(d) scaling; scores accumulate in f32
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            if position_bias is not None:
+                scores = scores + position_bias
 
-        weights = jax.nn.softmax(scores, axis=-1).astype(dt)
-        weights = nn.Dropout(cfg.dropout, deterministic=not training)(weights)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(dt)
+            if mask is not None:
+                scores = scores + jnp.where(mask[:, None, None, :], 0.0, NEG_INF)
+            if causal:
+                cmask = jnp.tril(jnp.ones((Lq, Lk), bool))
+                scores = scores + jnp.where(cmask[None, None], 0.0, NEG_INF)
+
+            weights = jax.nn.softmax(scores, axis=-1).astype(dt)
+            weights = nn.Dropout(cfg.dropout, deterministic=not training)(weights)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(dt)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
         out = nn.Dense(
             cfg.d_model, use_bias=False, dtype=dt, kernel_init=_normal((inner) ** -0.5), name="o"

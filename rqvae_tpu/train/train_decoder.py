@@ -89,6 +89,7 @@ def train(
     t5_dropout: float = 0.1,
     t5_dtype: str = "float32",
     t5_remat: bool = False,
+    t5_fused_attention: str = "auto",  # Pallas attention: "auto"|"off"|"interpret"
     warmup_steps: int = 10000,
     sample_candidates: bool = False,
     full_eval_max_batches: Optional[int] = None,
@@ -194,6 +195,7 @@ def train(
         sample_candidates=sample_candidates,
         t5_dtype=t5_dtype,
         t5_remat=t5_remat,
+        t5_fused_attention=t5_fused_attention,
     )
     model = EncoderDecoderRetrievalModel(cfg)
 

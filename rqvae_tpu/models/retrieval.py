@@ -68,6 +68,8 @@ class RetrievalConfig:
     # fused Pallas attention (ops/pallas/attention.py): "auto" | "off" |
     # "interpret" — see T5StackConfig.fused_attention
     t5_fused_attention: str = "auto"
+    # counter-based dropout (ops/hash_dropout.py); False = flax nn.Dropout
+    t5_hash_dropout: bool = True
 
     @property
     def t5(self) -> T5StackConfig:
@@ -81,6 +83,7 @@ class RetrievalConfig:
             dtype=self.t5_dtype,
             remat=self.t5_remat,
             fused_attention=self.t5_fused_attention,
+            hash_dropout=self.t5_hash_dropout,
         )
 
 

@@ -64,6 +64,12 @@ class T5StackConfig:
     #   "off"       — always the XLA path.
     #   "interpret" — force the kernel in interpreter mode (CPU tests).
     fused_attention: str = "auto"
+    # counter-based dropout (ops/hash_dropout.py): the keep-mask is a hash
+    # of the element position fused into the elementwise chain and
+    # regenerated in the backward pass — no mask bits ever reach HBM
+    # (flax Dropout's saved masks cost ~13 ms/step at the flagship
+    # stage-2 geometry). False falls back to nn.Dropout.
+    hash_dropout: bool = True
 
     @property
     def compute_dtype(self):
@@ -72,6 +78,20 @@ class T5StackConfig:
 
 def _normal(stddev):
     return nn.initializers.normal(stddev=stddev)
+
+
+def _dropout(module: nn.Module, x: jax.Array, training: bool) -> jax.Array:
+    """Dropout at rate module.cfg.dropout: counter-based hash dropout by
+    default (zero HBM mask traffic, seed-only residual), nn.Dropout when
+    cfg.hash_dropout=False."""
+    cfg = module.cfg
+    if cfg.dropout == 0.0 or not training:
+        return x
+    if cfg.hash_dropout:
+        from rqvae_tpu.ops.hash_dropout import dropout_seed, hash_dropout
+
+        return hash_dropout(x, dropout_seed(module.make_rng("dropout")), float(cfg.dropout))
+    return nn.Dropout(cfg.dropout, deterministic=False)(x)
 
 
 class RMSNorm(nn.Module):
@@ -123,15 +143,18 @@ class T5Attention(nn.Module):
             return True
         if mode == "off":
             return False
-        # "auto": single-device TPU, and a big enough score tensor that
-        # fusing beats XLA (the <=4-token decoder self/cross attention is
-        # cheaper unfused than padded to kernel tiles)
-        return (
-            lq >= 16
-            and lk >= 16
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-        )
+        # size gate for "auto"/"on": the <=4-token decoder self/cross
+        # attention is cheaper unfused than padded to kernel tiles
+        if lq < 16 or lk < 16:
+            return False
+        if mode == "on":
+            # forced: caller guarantees per-shard execution (e.g. inside a
+            # shard_map train step) on a TPU backend
+            return True
+        # "auto": single-device TPU. Under a multi-device GSPMD jit a
+        # pallas_call would be replicated (all-gather) — use the shard_map
+        # step (train/decoder_steps.py) for multi-chip kernels instead.
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
 
     @nn.compact
     def __call__(
@@ -205,7 +228,7 @@ class T5Attention(nn.Module):
                 scores = scores + jnp.where(cmask[None, None], 0.0, NEG_INF)
 
             weights = jax.nn.softmax(scores, axis=-1).astype(dt)
-            weights = nn.Dropout(cfg.dropout, deterministic=not training)(weights)
+            weights = _dropout(self, weights, training)
             out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(dt)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
         out = nn.Dense(
@@ -223,7 +246,7 @@ class T5FFN(nn.Module):
         dt = cfg.compute_dtype
         h = nn.Dense(cfg.d_ff, use_bias=False, dtype=dt, kernel_init=_normal(cfg.d_model**-0.5), name="wi")(x)
         h = nn.relu(h)
-        h = nn.Dropout(cfg.dropout, deterministic=not training)(h)
+        h = _dropout(self, h, training)
         return nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=_normal(cfg.d_ff**-0.5), name="wo")(h)
 
 
@@ -243,7 +266,7 @@ class T5Block(nn.Module):
         training: bool = False,
     ):
         cfg = self.cfg
-        drop = lambda h: nn.Dropout(cfg.dropout, deterministic=not training)(h)
+        drop = lambda h: _dropout(self, h, training)
 
         # self attention (causal in the decoder)
         h, position_bias = T5Attention(
@@ -289,9 +312,7 @@ class T5Stack(nn.Module):
         training: bool = False,
     ) -> jax.Array:
         cfg = self.cfg
-        x = nn.Dropout(cfg.dropout, deterministic=not training)(
-            inputs_embeds.astype(cfg.compute_dtype)
-        )
+        x = _dropout(self, inputs_embeds.astype(cfg.compute_dtype), training)
         position_bias = None
         # remat: all block args passed positionally; `training` (last arg,
         # index 6 counting self) must be static for `not training` in Dropout
@@ -304,4 +325,4 @@ class T5Stack(nn.Module):
                 name=f"block_{i}",
             )(x, enc_out, self_mask, enc_mask, position_bias, training)
         x = RMSNorm(cfg.layer_norm_eps, name="ln_final")(x)
-        return nn.Dropout(cfg.dropout, deterministic=not training)(x).astype(jnp.float32)
+        return _dropout(self, x, training).astype(jnp.float32)

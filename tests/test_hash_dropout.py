@@ -1,0 +1,94 @@
+"""Counter-based dropout (ops/hash_dropout.py): exactness of the custom
+VJP, statistics, and T5-stack integration. Parity surface: nn.Dropout as HF
+T5 applies it (reference modules/model.py:77-96 builds stock T5 stacks)."""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.models.t5 import T5Stack, T5StackConfig
+from rqvae_tpu.ops.hash_dropout import dropout_seed, hash_dropout, keep_mask
+
+
+class TestHashDropout:
+    def test_deterministic_and_seed_sensitive(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(64, 128), jnp.float32)
+        o1 = hash_dropout(x, jnp.int32(42), 0.3)
+        o2 = hash_dropout(x, jnp.int32(42), 0.3)
+        o3 = hash_dropout(x, jnp.int32(7), 0.3)
+        assert bool((o1 == o2).all()) and bool((o1 != o3).any())
+
+    def test_rate_and_scaling(self):
+        x = jnp.ones((256, 256), jnp.float32)
+        for rate in (0.1, 0.5):
+            o = hash_dropout(x, jnp.int32(3), rate)
+            dropped = float((o == 0).mean())
+            assert abs(dropped - rate) < 0.01, (rate, dropped)
+            kept = np.asarray(o)[np.asarray(o) != 0]
+            np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), rtol=1e-6)
+            # inverted scaling preserves the mean
+            assert abs(float(o.mean()) - 1.0) < 0.02
+
+    def test_grad_is_mask_over_keep(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(32, 64), jnp.float32)
+        seed = jnp.int32(9)
+        g = jax.grad(lambda x: jnp.sum(hash_dropout(x, seed, 0.3) * 2.0))(x)
+        expect = jnp.where(keep_mask(seed, x.shape, 0.3), 2.0 / 0.7, 0.0)
+        assert bool((g == expect).all())
+
+    def test_odd_shapes_and_dtypes(self):
+        x = jnp.ones((3, 5, 7), jnp.bfloat16)
+        o = jax.jit(lambda x: hash_dropout(x, jnp.int32(1), 0.25))(x)
+        assert o.dtype == jnp.bfloat16 and o.shape == x.shape
+        # 1-D
+        o1 = hash_dropout(jnp.ones((1000,)), jnp.int32(1), 0.25)
+        assert abs(float((o1 == 0).mean()) - 0.25) < 0.05
+
+    def test_positions_are_decorrelated(self):
+        # adjacent elements share high index bits; the finalizer must still
+        # decorrelate them (no striping): row-wise drop rates stay near rate
+        m = keep_mask(jnp.int32(11), (64, 128), 0.5)
+        row_rates = 1.0 - np.asarray(m).mean(axis=1)
+        assert row_rates.min() > 0.3 and row_rates.max() < 0.7
+
+    def test_dropout_seed_scalar(self):
+        s = dropout_seed(jax.random.PRNGKey(0))
+        assert s.shape == () and s.dtype == jnp.int32
+
+
+class TestT5StackHashDropout:
+    CFG = T5StackConfig(d_model=64, d_kv=16, num_heads=4, d_ff=128, num_layers=2, dropout=0.2)
+
+    def _setup(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(3, 24, 64), jnp.float32)
+        mask = jnp.ones((3, 24), jnp.int32)
+        enc = T5Stack(self.CFG)
+        params = enc.init(jax.random.PRNGKey(0), x, self_mask=mask)
+        return enc, params, x, mask
+
+    def test_training_deterministic_per_rng(self):
+        enc, params, x, mask = self._setup()
+        a1 = enc.apply(params, x, self_mask=mask, training=True, rngs={"dropout": jax.random.PRNGKey(5)})
+        a2 = enc.apply(params, x, self_mask=mask, training=True, rngs={"dropout": jax.random.PRNGKey(5)})
+        a3 = enc.apply(params, x, self_mask=mask, training=True, rngs={"dropout": jax.random.PRNGKey(6)})
+        assert bool((a1 == a2).all()) and bool((a1 != a3).any())
+        assert bool(jnp.isfinite(a1).all())
+
+    def test_eval_identical_to_flax_dropout_config(self):
+        enc, params, x, mask = self._setup()
+        e1 = enc.apply(params, x, self_mask=mask)
+        e2 = T5Stack(replace(self.CFG, hash_dropout=False)).apply(params, x, self_mask=mask)
+        assert bool((e1 == e2).all())
+
+    def test_train_grads_finite(self):
+        enc, params, x, mask = self._setup()
+
+        def loss(p):
+            o = enc.apply(p, x, self_mask=mask, training=True, rngs={"dropout": jax.random.PRNGKey(5)})
+            return jnp.sum(jnp.tanh(o))
+
+        g = jax.grad(loss)(params)
+        assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))

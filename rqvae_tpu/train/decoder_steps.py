@@ -219,6 +219,56 @@ def make_decoder_scan_train_step(
     return multi_step
 
 
+def make_decoder_shardmap_train_step(
+    model: EncoderDecoderRetrievalModel,
+    tx: optax.GradientTransformation,
+    mesh,
+    axis: str = "data",
+):
+    """Data-parallel stage-2 step via jax.shard_map: each device computes
+    grads on its batch shard with ALL compute running per-shard — including
+    the fused Pallas attention kernel, which a plain GSPMD jit would
+    replicate (a pallas_call has no partitioning rule) — then pmean-reduces
+    grads/metrics over the mesh axis. Optimizer update runs replicated
+    outside the shard_map. Replaces the reference's Accelerate DDP
+    all-reduce (reference train_decoder.py:73-76,194).
+
+    Params must be replicated and the batch sharded over `axis` (dim 0).
+    Dropout seeds fold in the device's axis index so shards draw
+    independent masks.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    grad_fn = jax.value_and_grad(_make_loss_fn(model), has_aux=True)
+
+    def sharded_grads(params, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        (_, metrics), grads = grad_fn(params, batch, key)
+        return jax.lax.pmean(grads, axis), jax.lax.pmean(metrics, axis)
+
+    smapped = shard_map(
+        sharded_grads,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: TokenizedSeqBatch, key: jax.Array):
+        grads, metrics = smapped(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
 def make_decoder_eval_step(model: EncoderDecoderRetrievalModel):
     @jax.jit
     def eval_step(params, batch: TokenizedSeqBatch):

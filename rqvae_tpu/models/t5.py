@@ -137,14 +137,20 @@ class T5Attention(nn.Module):
     has_relative_bias: bool = False
     bidirectional: bool = True  # bucket scheme for the relative bias
 
-    def _use_fused(self, lq: int, lk: int) -> bool:
+    def _use_fused(self, lq: int, lk: int, training: bool) -> bool:
         mode = self.cfg.fused_attention
         if mode == "interpret":
             return True
         if mode == "off":
             return False
-        # size gate for "auto"/"on": the <=4-token decoder self/cross
-        # attention is cheaper unfused than padded to kernel tiles
+        # the kernel's win is the BACKWARD (no score tensors / dropout masks
+        # saved to HBM: train step 53.6 -> 38.1 ms); its forward alone is
+        # slower than XLA's (B=640 fwd: 11.0 -> 14.2 ms; B=64: 1.06 -> 1.62,
+        # out/r3/enc_micro.py), so eval/serving stays on the XLA path
+        if not training:
+            return False
+        # size gate: the <=4-token decoder self/cross attention is cheaper
+        # unfused than padded to kernel tiles
         if lq < 16 or lk < 16:
             return False
         if mode == "on":
@@ -193,7 +199,7 @@ class T5Attention(nn.Module):
             )
             position_bias = bias_table[buckets].transpose(2, 0, 1)[None]  # [1,H,Lq,Lk]
 
-        if self._use_fused(Lq, Lk):
+        if self._use_fused(Lq, Lk, training):
             from rqvae_tpu.ops.pallas.attention import t5_attention
 
             rate = float(cfg.dropout) if training else 0.0

@@ -188,7 +188,9 @@ def _fwd_call(causal, dropout_rate, block_b, interpret, q, k, v, bias, mask, see
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=_cost(batch, heads, lq, lk, dk, 2),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # no cross-step accumulation in the forward: both dims parallel
+            # so megacore can split the grid freely
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
@@ -243,6 +245,18 @@ def _fused_bwd(causal, dropout_rate, block_b, interpret, res, do):
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _auto_block_b(batch, lq, lk, dk):
+    """Largest batch block whose working set (scores/P/dS f32 ~3x + q/k/v/do
+    bf16, double-buffered) stays within a ~8MB VMEM budget. Measured at the
+    flagship stage-2 geometry (Lq=Lk=80, dk=64): 32 -> 38.1 ms/step vs
+    8 -> 39.4 (out/r3/ab_attn.py)."""
+    per_row = 3 * lq * lk * 4 + 2 * (lq + 3 * lk) * dk * 2
+    for bb in (32, 16, 8, 4, 2):
+        if bb * per_row * 2 <= 12 * 1024 * 1024 or bb == 2:
+            return min(bb, max(batch, 1))
+    return 2
+
+
 def t5_attention(
     q: jax.Array,  # [B, H, Lq, dk]
     k: jax.Array,  # [B, H, Lk, dk]
@@ -253,7 +267,7 @@ def t5_attention(
     *,
     causal: bool = False,
     dropout_rate: float = 0.0,
-    block_b: int = 8,
+    block_b: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused T5 attention (no 1/sqrt(d) scale). Differentiable in q/k/v/bias."""
@@ -261,6 +275,8 @@ def t5_attention(
     assert bias.shape == (q.shape[1], q.shape[2], k.shape[2]), bias.shape
     if causal:
         assert q.shape[2] == k.shape[2], "causal attention assumes Lq == Lk"
+    if block_b is None:
+        block_b = _auto_block_b(q.shape[0], q.shape[2], k.shape[2], q.shape[3])
     mask = mask.astype(jnp.int32)
     seed = seed.reshape(1).astype(jnp.int32)
     return _fused_attention(

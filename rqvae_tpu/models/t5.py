@@ -146,7 +146,7 @@ class T5Attention(nn.Module):
         # the kernel's win is the BACKWARD (no score tensors / dropout masks
         # saved to HBM: train step 53.6 -> 38.1 ms); its forward alone is
         # slower than XLA's (B=640 fwd: 11.0 -> 14.2 ms; B=64: 1.06 -> 1.62,
-        # out/r3/enc_micro.py), so eval/serving stays on the XLA path
+        # benchmarks/enc_micro.py), so eval/serving stays on the XLA path
         if not training:
             return False
         # size gate: the <=4-token decoder self/cross attention is cheaper

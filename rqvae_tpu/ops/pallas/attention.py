@@ -249,7 +249,7 @@ def _auto_block_b(batch, lq, lk, dk):
     """Largest batch block whose working set (scores/P/dS f32 ~3x + q/k/v/do
     bf16, double-buffered) stays within a ~8MB VMEM budget. Measured at the
     flagship stage-2 geometry (Lq=Lk=80, dk=64): 32 -> 38.1 ms/step vs
-    8 -> 39.4 (out/r3/ab_attn.py)."""
+    8 -> 39.4 (benchmarks/ab_stage2_step.py)."""
     per_row = 3 * lq * lk * 4 + 2 * (lq + 3 * lk) * dk * 2
     for bb in (32, 16, 8, 4, 2):
         if bb * per_row * 2 <= 12 * 1024 * 1024 or bb == 2:

@@ -90,6 +90,7 @@ def train(
     t5_dtype: str = "float32",
     t5_remat: bool = False,
     t5_fused_attention: str = "auto",  # Pallas attention: "auto"|"off"|"interpret"
+    t5_hash_dropout: bool = True,  # counter-based dropout; False = flax nn.Dropout
     warmup_steps: int = 10000,
     sample_candidates: bool = False,
     full_eval_max_batches: Optional[int] = None,
@@ -196,6 +197,7 @@ def train(
         t5_dtype=t5_dtype,
         t5_remat=t5_remat,
         t5_fused_attention=t5_fused_attention,
+        t5_hash_dropout=t5_hash_dropout,
     )
     model = EncoderDecoderRetrievalModel(cfg)
 

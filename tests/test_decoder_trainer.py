@@ -69,7 +69,8 @@ class TestDecoderTrainer:
             t5_num_heads=4,
             t5_d_ff=64,
             t5_num_layers=1,
-            t5_dropout=0.0,
+            t5_dropout=0.1,
+            t5_hash_dropout=False,  # exercise the flax nn.Dropout fallback
             top_k_for_generation=5,
             partial_eval_every=1000,
             full_eval_every=1000,

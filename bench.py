@@ -50,6 +50,25 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_
 REFERENCE_DIR = "/root/reference"
 
 
+def _differential_time(run, r1: int = 50, r2: int = 550, reps: int = 5) -> float:
+    """Per-iteration device time of `run(r)` (r serially-dependent device
+    iterations per call, value-fetch synced): (t(r2) - t(r1)) / (r2 - r1),
+    best-of-`reps` per point. Both calls carry the same dispatch + transport
+    RTT, so the difference isolates device compute; r2 - r1 is large enough
+    that device compute dominates the tunnel's minute-scale RTT jitter."""
+    run(r1)  # warmup both trip counts (same compiled program)
+    run(r2)
+    t = {}
+    for r in (r1, r2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(r)
+            best = min(best, time.perf_counter() - t0)
+        t[r] = best
+    return max(t[r2] - t[r1], 1e-9) / (r2 - r1)
+
+
 def _make_corpus(n=N_ITEMS, seed=0):
     rng = np.random.RandomState(seed)
     centers = rng.randn(64, INPUT_DIM) * 2.0
@@ -94,11 +113,47 @@ def measure_jax() -> dict:
         out = tok.precompute_corpus_ids(corpus)
         int(_np.asarray(out[0, 0] + out[-1, -1]))  # per-pass value-fetch sync
         best = min(best, time.perf_counter() - t0)
-    return {
+    res = {
         "items_per_sec": N_ITEMS / best,
         "device": str(dev),
         "seconds_per_pass": best,
     }
+
+    # device-compute throughput: serially-dependent index builds inside one
+    # jit, DIFFERENTIALLY timed at two trip counts — (t(R2)-t(R1))/(R2-R1)
+    # cancels the per-call transport RTT of the remoted runtime, which can
+    # reach hundreds of ms and swamp any single amortized call. On
+    # directly-attached TPUs the device number is what production sees.
+    # TPU-only: 60 CPU builds would take minutes for no signal.
+    if jax.default_backend() == "tpu":
+        try:
+            build, x = tok._build_index, tok._corpus_dev
+
+            @jax.jit
+            def amortized(params, x, r):
+                # The serial dependency must be fold-proof: XLA folds
+                # integer 0*c / c&0 to constants and then hoists the whole
+                # loop-invariant body out of the fori_loop (measured: a
+                # "50-iteration" loop timing flat in r). A denormal-scale
+                # perturbation of the (small) params by the carried id
+                # value is genuinely data-dependent and numerically inert.
+                def body(_, c):
+                    eps = c.astype(jnp.float32) * jnp.float32(1e-30)
+                    p = jax.tree_util.tree_map(lambda w: w + eps.astype(w.dtype), params)
+                    out = build(p, x)
+                    # consume EVERY column: a carry of out[0, 0] lets XLA
+                    # dead-code-eliminate the whole sort-dedup stage
+                    return jnp.min(out)
+
+                return jax.lax.fori_loop(0, r, body, jnp.int32(0))
+
+            per_iter = _differential_time(
+                lambda r: float(amortized(params, x, jnp.int32(r)))
+            )
+            res["device_items_per_sec"] = N_ITEMS / per_iter
+        except Exception as e:
+            print(f"# amortized tokenization measurement failed: {e}", file=sys.stderr)
+    return res
 
 
 def measure_beam_jax() -> dict:
@@ -144,7 +199,42 @@ def measure_beam_jax() -> dict:
         out = gen(params, batch, table)
         int(_np.asarray(out.sem_ids[0, 0, 0] + out.sem_ids[-1, -1, -1]))
         best = min(best, time.perf_counter() - t0)
-    return {"queries_per_sec": BEAM_B / best, "seconds_per_batch": best}
+    res = {"queries_per_sec": BEAM_B / best, "seconds_per_batch": best}
+
+    # device-compute QPS: serially-dependent generate() calls inside one
+    # jit (see benchmarks/beam_amortized.py), differentially timed at two
+    # trip counts so the per-call transport RTT cancels — the per-call
+    # number above is RTT-dominated on remoted runtimes.
+    if jax.default_backend() == "tpu":
+        try:
+
+            @jax.jit
+            def amortized(params, batch, table, r):
+                # fold-proof serial dependency (see the tokenization twin):
+                # each iteration queries ids shifted by the previous result
+                # mod K — XLA folds `+ 0*c` (int) and hoists the body
+                def body(_, c):
+                    ids = (batch.sem_ids + jnp.maximum(c, 0)) % K
+                    out = model.apply(
+                        params,
+                        jnp.where(batch.sem_ids >= 0, ids, batch.sem_ids),
+                        batch.seq_mask,
+                        batch.user_ids,
+                        table,
+                        None,
+                        method=EncoderDecoderRetrievalModel.generate,
+                    )
+                    return jnp.min(out.sem_ids)
+
+                return jax.lax.fori_loop(0, r, body, jnp.int32(0))
+
+            per_batch = _differential_time(
+                lambda r: int(amortized(params, batch, table, jnp.int32(r)))
+            )
+            res["device_queries_per_sec"] = BEAM_B / per_batch
+        except Exception as e:
+            print(f"# amortized beam measurement failed: {e}", file=sys.stderr)
+    return res
 
 
 def measure_torch_baseline() -> dict:
@@ -240,22 +330,30 @@ def measure_torch_beam_baseline() -> dict:
     return {"queries_per_sec": BEAM_B / dt, "seconds_per_batch": dt}
 
 
-def _device_healthy(timeout_s: int = 180) -> bool:
+def _device_healthy(timeout_s: int = 180, attempts: int = 3) -> bool:
     """Probe the default JAX device in a subprocess (the axon TPU tunnel can
-    wedge in a way that hangs any in-process call forever)."""
+    wedge in a way that hangs any in-process call forever). Retries: the
+    tunnel refuses new sessions for a few minutes while it tears down a
+    just-exited process, and that transient reads as a wedge."""
     import subprocess
 
     code = (
         "import jax, jax.numpy as jnp;"
         "print(float(jax.jit(lambda a:(a@a).sum())(jnp.ones((128,128)))))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            print(f"# device probe attempt {attempt + 1} failed; retrying", file=sys.stderr)
+            time.sleep(60)
+    return False
 
 
 def _load_or_establish_baselines() -> dict:
@@ -316,20 +414,24 @@ def main() -> None:
         "unit": "items/sec",
         "vs_baseline": round(vs, 2),
     }
+    if "device_items_per_sec" in ours:
+        # R serially-dependent builds in one jit: device compute w/o the
+        # remote-transport RTT baked into `value`
+        headline["device_items_per_sec"] = round(ours["device_items_per_sec"], 1)
     if beam is not None:
         beam_vs = None
         if base.get("beam_queries_per_sec"):
             beam_vs = round(beam["queries_per_sec"] / base["beam_queries_per_sec"], 2)
-        print(
-            json.dumps(
-                {
-                    "metric": "beam_search_throughput",
-                    "value": round(beam["queries_per_sec"], 1),
-                    "unit": "queries/sec",
-                    "vs_baseline": beam_vs,
-                }
-            )
-        )
+        beam_line = {
+            "metric": "beam_search_throughput",
+            "value": round(beam["queries_per_sec"], 1),
+            "unit": "queries/sec",
+            "vs_baseline": beam_vs,
+        }
+        if "device_queries_per_sec" in beam:
+            beam_line["device_queries_per_sec"] = round(beam["device_queries_per_sec"], 1)
+            headline["beam_device_qps"] = round(beam["device_queries_per_sec"], 1)
+        print(json.dumps(beam_line))
         headline["beam_qps"] = round(beam["queries_per_sec"], 1)
         headline["beam_vs_baseline"] = beam_vs
     print(json.dumps(headline))

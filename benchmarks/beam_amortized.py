@@ -22,7 +22,10 @@ R = 50
 
 
 def main():
+    global B
     mode = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    if "--batch" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
     cfg = RetrievalConfig(
         num_hierarchies=L, codebook_size=K, t5_d_model=384, t5_num_heads=6,
         t5_d_ff=1024, t5_num_layers=4, top_k_for_generation=10,
@@ -47,10 +50,14 @@ def main():
 
     @jax.jit
     def amortized(params, batch, table):
+        # fold-proof serial dependency: query ids shifted by the previous
+        # result mod K. (`+ 0 * carry` is int math XLA constant-folds, after
+        # which the loop-invariant body gets hoisted and the "R iterations"
+        # time flat in R.)
         def body(carry, _):
             out = model.apply(
                 params,
-                batch.sem_ids + 0 * carry,  # serial dependency between iterations
+                (batch.sem_ids + jnp.maximum(carry, 0)) % K,
                 batch.seq_mask,
                 batch.user_ids,
                 table,

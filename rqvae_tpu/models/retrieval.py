@@ -172,12 +172,13 @@ class EncoderDecoderRetrievalModel(nn.Module):
 
     def decoder_forward(
         self,
-        fut_ids: Optional[jax.Array],  # [B, T] prefix (None = BOS only)
-        enc_out: jax.Array,
+        fut_ids: Optional[jax.Array],  # [B*beams, T] prefix (None = BOS only)
+        enc_out: jax.Array,  # [B, Le, d]
         enc_mask: jax.Array,
         training: bool = False,
+        beams: int = 1,  # beam search: decoder rows per encoder row
     ) -> jax.Array:
-        B = enc_out.shape[0]
+        B = enc_out.shape[0] * beams
         bos = jnp.broadcast_to(self.bos_token, (B, 1, self.config.t5_d_model))
         if fut_ids is not None and fut_ids.shape[1] > 0:
             T = fut_ids.shape[1]
@@ -186,8 +187,9 @@ class EncoderDecoderRetrievalModel(nn.Module):
         else:
             embs = bos
         return self.decoder(
-            embs, self_mask=None, enc_out=enc_out, enc_mask=enc_mask, training=training
-        )  # [B, T+1, d]
+            embs, self_mask=None, enc_out=enc_out, enc_mask=enc_mask, training=training,
+            beams=beams,
+        )  # [B*beams, T+1, d]
 
     # ---------- training ----------
 
@@ -227,9 +229,10 @@ class EncoderDecoderRetrievalModel(nn.Module):
         B = input_ids.shape[0]
 
         enc, enc_mask = self.encoder_forward(input_ids, mask, user_ids, training=False)
-        # replicate encoder output across beams once: [B*k, Lenc, d]
-        enc_rep = jnp.repeat(enc, k, axis=0)
-        enc_mask_rep = jnp.repeat(enc_mask, k, axis=0)
+        # enc_out is NOT replicated across beams: the decoder's beam-folded
+        # cross-attention (models/t5.py) attends [B, k*T] queries against
+        # the shared [B, Le] keys/values (reference repeat_interleaves the
+        # encoder output k-fold instead, model.py:321-322)
 
         def head_logprobs(dec_last: jax.Array, h: int) -> jax.Array:
             logits = dec_last @ self.heads[h]
@@ -275,7 +278,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
         # --- levels 1..L-1 ---
         for h in range(1, L):
             flat_prefix = beam_ids.reshape(B * k, h)
-            dec = self.decoder_forward(flat_prefix, enc_rep, enc_mask_rep)[:, -1]  # [B*k, d]
+            dec = self.decoder_forward(flat_prefix, enc, enc_mask, beams=k)[:, -1]  # [B*k, d]
             logp = head_logprobs(dec, h).reshape(B, k, K)
             rh = jax.random.fold_in(rng, h) if rng is not None else None
             scores, cand = candidate_scores(logp, beam_keys, h, rh)  # [B, k, n]

@@ -270,6 +270,7 @@ class T5Block(nn.Module):
         enc_mask=None,
         position_bias=None,
         training: bool = False,
+        beams: int = 1,  # x batch = beams * enc_out batch (beam search)
     ):
         cfg = self.cfg
         drop = lambda h: _dropout(self, h, training)
@@ -290,12 +291,24 @@ class T5Block(nn.Module):
         x = x + drop(h)
 
         if self.is_decoder and enc_out is not None:
+            xq = RMSNorm(cfg.layer_norm_eps, name="ln_cross")(x)
+            if beams > 1:
+                # beam-folded cross-attention: the k beams of one query
+                # share enc_out, so attend as [B, k*T] queries against the
+                # UN-replicated [B, Le] keys/values — k/v projections and
+                # enc_out stay at batch B instead of B*k. The reshape
+                # [B*k, T, d] <-> [B, k*T, d] is layout-free. Cross-attn has
+                # no position bias and no self mask, so folding is exact.
+                Bk, T, d = xq.shape
+                xq = xq.reshape(Bk // beams, beams * T, d)
             h, _ = T5Attention(cfg, has_relative_bias=False, name="cross_attn")(
-                RMSNorm(cfg.layer_norm_eps, name="ln_cross")(x),
+                xq,
                 kv=enc_out,
                 mask=enc_mask,
                 training=training,
             )
+            if beams > 1:
+                h = h.reshape(x.shape)
             x = x + drop(h)
 
         h = T5FFN(cfg, name="ffn")(RMSNorm(cfg.layer_norm_eps, name="ln_ffn")(x), training=training)
@@ -316,19 +329,20 @@ class T5Stack(nn.Module):
         enc_out: Optional[jax.Array] = None,
         enc_mask: Optional[jax.Array] = None,
         training: bool = False,
+        beams: int = 1,  # see T5Block: input batch = beams * enc batch
     ) -> jax.Array:
         cfg = self.cfg
         x = _dropout(self, inputs_embeds.astype(cfg.compute_dtype), training)
         position_bias = None
-        # remat: all block args passed positionally; `training` (last arg,
-        # index 6 counting self) must be static for `not training` in Dropout
-        block_cls = nn.remat(T5Block, static_argnums=(6,)) if cfg.remat else T5Block
+        # remat: all block args passed positionally; `training`/`beams`
+        # (indices 6, 7 counting self) must be static
+        block_cls = nn.remat(T5Block, static_argnums=(6, 7)) if cfg.remat else T5Block
         for i in range(cfg.num_layers):
             x, position_bias = block_cls(
                 cfg,
                 is_decoder=self.is_decoder,
                 has_relative_bias=(i == 0),
                 name=f"block_{i}",
-            )(x, enc_out, self_mask, enc_mask, position_bias, training)
+            )(x, enc_out, self_mask, enc_mask, position_bias, training, beams)
         x = RMSNorm(cfg.layer_norm_eps, name="ln_final")(x)
         return _dropout(self, x, training).astype(jnp.float32)

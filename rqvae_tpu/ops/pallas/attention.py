@@ -223,20 +223,20 @@ def _bwd_call(causal, dropout_rate, block_b, interpret, q, k, v, bias, mask, see
     )(seed, q, k, v, bias, mask, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused_attention(causal, dropout_rate, block_b, interpret, q, k, v, bias, mask, seed):
-    return _fwd_call(causal, dropout_rate, block_b, interpret, q, k, v, bias, mask, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_attention(causal, dropout_rate, block_b_fwd, block_b_bwd, interpret, q, k, v, bias, mask, seed):
+    return _fwd_call(causal, dropout_rate, block_b_fwd, interpret, q, k, v, bias, mask, seed)
 
 
-def _fused_fwd(causal, dropout_rate, block_b, interpret, q, k, v, bias, mask, seed):
-    out = _fwd_call(causal, dropout_rate, block_b, interpret, q, k, v, bias, mask, seed)
+def _fused_fwd(causal, dropout_rate, block_b_fwd, block_b_bwd, interpret, q, k, v, bias, mask, seed):
+    out = _fwd_call(causal, dropout_rate, block_b_fwd, interpret, q, k, v, bias, mask, seed)
     return out, (q, k, v, bias, mask, seed)
 
 
-def _fused_bwd(causal, dropout_rate, block_b, interpret, res, do):
+def _fused_bwd(causal, dropout_rate, block_b_fwd, block_b_bwd, interpret, res, do):
     q, k, v, bias, mask, seed = res
     dq, dk, dv, dbias = _bwd_call(
-        causal, dropout_rate, block_b, interpret, q, k, v, bias, mask, seed, do
+        causal, dropout_rate, block_b_bwd, interpret, q, k, v, bias, mask, seed, do
     )
     f0 = jax.dtypes.float0
     return dq, dk, dv, dbias, np.zeros(mask.shape, f0), np.zeros(seed.shape, f0)
@@ -245,14 +245,16 @@ def _fused_bwd(causal, dropout_rate, block_b, interpret, res, do):
 _fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _auto_block_b(batch, lq, lk, dk):
-    """Largest batch block whose working set (scores/P/dS f32 ~3x + q/k/v/do
-    bf16, double-buffered) stays within a ~8MB VMEM budget. Measured at the
-    flagship stage-2 geometry (Lq=Lk=80, dk=64): 32 -> 38.1 ms/step vs
-    8 -> 39.4 (benchmarks/ab_stage2_step.py)."""
-    per_row = 3 * lq * lk * 4 + 2 * (lq + 3 * lk) * dk * 2
-    for bb in (32, 16, 8, 4, 2):
-        if bb * per_row * 2 <= 12 * 1024 * 1024 or bb == 2:
+def _auto_block_b(batch, lq, lk, dk, n_score_bufs=3, budget=12 * 1024 * 1024):
+    """Largest batch block whose working set (`n_score_bufs` f32 [Lq, Lk]
+    score-shaped tensors + q/k/v/do bf16, double-buffered) stays within the
+    VMEM budget. Backward (scores/P/dS, n_score_bufs=3, 12MB) measured at
+    the flagship stage-2 geometry (Lq=Lk=80, dk=64): 32 -> 38.1 ms/step vs
+    8 -> 39.4 (benchmarks/ab_stage2_step.py). The forward holds only
+    scores/P and gets a larger budget (fewer, bigger grid steps)."""
+    per_row = n_score_bufs * lq * lk * 4 + 2 * (lq + 3 * lk) * dk * 2
+    for bb in (128, 64, 32, 16, 8, 4, 2):
+        if bb * per_row * 2 <= budget or bb == 2:
             return min(bb, max(batch, 1))
     return 2
 
@@ -268,19 +270,33 @@ def t5_attention(
     causal: bool = False,
     dropout_rate: float = 0.0,
     block_b: int | None = None,
+    block_b_fwd: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused T5 attention (no 1/sqrt(d) scale). Differentiable in q/k/v/bias."""
+    """Fused T5 attention (no 1/sqrt(d) scale). Differentiable in q/k/v/bias.
+
+    An explicit block_b sizes BOTH kernels (block_b_fwd overrides the
+    forward's); when unset, each pass gets a VMEM-budget auto-pick — the
+    forward's working set is ~2/3 the backward's, so it runs larger
+    blocks."""
     assert q.ndim == 4 and k.shape == v.shape and q.shape[:2] == k.shape[:2], (q.shape, k.shape)
     assert bias.shape == (q.shape[1], q.shape[2], k.shape[2]), bias.shape
     if causal:
         assert q.shape[2] == k.shape[2], "causal attention assumes Lq == Lk"
+    batch, _, lq, dk = q.shape
+    lk = k.shape[2]
+    if block_b_fwd is None:
+        block_b_fwd = (
+            block_b
+            if block_b is not None
+            else _auto_block_b(batch, lq, lk, dk, n_score_bufs=2, budget=24 * 1024 * 1024)
+        )
     if block_b is None:
-        block_b = _auto_block_b(q.shape[0], q.shape[2], k.shape[2], q.shape[3])
+        block_b = _auto_block_b(batch, lq, lk, dk)
     mask = mask.astype(jnp.int32)
     seed = seed.reshape(1).astype(jnp.int32)
     return _fused_attention(
-        causal, float(dropout_rate), block_b, interpret,
+        causal, float(dropout_rate), block_b_fwd, block_b, interpret,
         q, k, v, bias.astype(jnp.float32), mask, seed,
     )
 

@@ -124,3 +124,46 @@ class TestDecoder:
         c = stack.apply(params, x, training=False)
         d = stack.apply(params, x, training=False)
         np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+class TestRematAndBeams:
+    def test_remat_matches_no_remat_forward_and_grad(self):
+        from dataclasses import replace
+
+        stack, params, x, enc, enc_mask = _init_stack(is_decoder=True)
+        stack_r = T5Stack(replace(CFG, remat=True), is_decoder=True)
+
+        def loss(s):
+            def f(p):
+                return jnp.sum(s.apply(p, x, enc_out=enc, enc_mask=enc_mask) ** 2)
+
+            return f
+
+        out = stack.apply(params, x, enc_out=enc, enc_mask=enc_mask)
+        out_r = stack_r.apply(params, x, enc_out=enc, enc_mask=enc_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+        g = jax.grad(loss(stack))(params)
+        g_r = jax.grad(loss(stack_r))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+            g,
+            g_r,
+        )
+
+    def test_beam_folded_cross_attention_matches_replicated(self):
+        """beams=k over [B, Le] enc must equal beams=1 over the k-replicated
+        encoder output (the reference's repeat_interleave layout)."""
+        stack, params, x, enc, enc_mask = _init_stack(is_decoder=True)
+        B, k = x.shape[0], 3
+        xk = jnp.repeat(x, k, axis=0)  # [B*k, T, d]
+        enc_rep = jnp.repeat(enc, k, axis=0)
+        mask_rep = jnp.repeat(enc_mask, k, axis=0)
+        folded = stack.apply(params, xk, enc_out=enc, enc_mask=enc_mask, beams=k)
+        replicated = stack.apply(params, xk, enc_out=enc_rep, enc_mask=mask_rep)
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(replicated), atol=1e-5)
+        # remat path takes the same static args
+        from dataclasses import replace
+
+        stack_r = T5Stack(replace(CFG, remat=True), is_decoder=True)
+        folded_r = stack_r.apply(params, xk, enc_out=enc, enc_mask=enc_mask, beams=k)
+        np.testing.assert_allclose(np.asarray(folded_r), np.asarray(folded), atol=1e-6)

@@ -59,31 +59,45 @@ def download_google_drive(file_id: str, dest_path: str, timeout: float = 60.0) -
     confirm-token redirect for virus-scan interstitials — the stdlib
     equivalent of torch_geometric's download_google_url (used by the
     reference at data/amazon.py:54)."""
+    import html as html_mod
     import re
+    import urllib.parse
 
     url = f"https://drive.usercontent.google.com/download?id={file_id}&export=download"
+    os.makedirs(os.path.dirname(dest_path), exist_ok=True)
+    tmp = dest_path + ".part"
     try:
         with _urlopen(url, timeout) as r:
-            head = r.read(1 << 16)
             ctype = r.headers.get("Content-Type", "")
-        if "text/html" in ctype:
-            # interstitial page: extract the confirm form parameters
-            html = head.decode("utf-8", "replace")
-            params = dict(re.findall(r'name="(\w+)" value="([^"]*)"', html))
-            if "confirm" not in params and "uuid" not in params:
-                raise DownloadError(
-                    f"Google Drive file {file_id}: no direct download and no "
-                    "confirm token (quota exceeded or permission issue)"
-                )
-            qs = "&".join(f"{k}={v}" for k, v in params.items())
-            return download_url(
-                f"https://drive.usercontent.google.com/download?{qs}", dest_path, timeout
+            if "text/html" not in ctype:
+                # direct stream: keep reading THIS response (no second
+                # request re-transferring the head)
+                with open(tmp, "wb") as f:
+                    shutil.copyfileobj(r, f, 1 << 20)
+                os.replace(tmp, dest_path)
+                return dest_path
+            head = r.read(1 << 20)
+        # interstitial page: extract + properly encode the confirm form
+        # parameters (values may contain &, =, +)
+        page = head.decode("utf-8", "replace")
+        params = {
+            k: html_mod.unescape(v)
+            for k, v in re.findall(r'name="(\w+)" value="([^"]*)"', page)
+        }
+        if "confirm" not in params and "uuid" not in params:
+            raise DownloadError(
+                f"Google Drive file {file_id}: no direct download and no "
+                "confirm token (quota exceeded or permission issue)"
             )
-        # direct stream: restart the request and stream fully
-        return download_url(url, dest_path, timeout)
+        qs = urllib.parse.urlencode(params)
+        return download_url(
+            f"https://drive.usercontent.google.com/download?{qs}", dest_path, timeout
+        )
     except DownloadError:
         raise
     except Exception as e:
+        if os.path.exists(tmp):
+            os.remove(tmp)
         raise DownloadError(f"download of gdrive {file_id} failed: {e}") from e
 
 

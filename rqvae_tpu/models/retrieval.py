@@ -65,8 +65,10 @@ class RetrievalConfig:
     sample_candidates: bool = False  # False = exhaustive top-k (deterministic)
     t5_dtype: str = "float32"  # "bfloat16" -> 2x MXU compute, f32 params
     t5_remat: bool = False  # jax.checkpoint each block (memory at scale)
-    # fused Pallas attention (ops/pallas/attention.py): "auto" | "off" |
-    # "interpret" — see T5StackConfig.fused_attention
+    # fused Pallas attention (ops/pallas/attention.py): "auto" | "on" |
+    # "off" | "interpret" — see T5StackConfig.fused_attention ("on" forces
+    # the kernel where "auto" would decline, e.g. per-shard inside a
+    # shard_map step on a multi-device TPU backend)
     t5_fused_attention: str = "auto"
     # counter-based dropout (ops/hash_dropout.py); False = flax nn.Dropout
     t5_hash_dropout: bool = True

@@ -61,6 +61,9 @@ class T5StackConfig:
     #                 enough to matter (the encoder; the <=4-token decoder
     #                 stays on XLA). Multi-device jit falls back to XLA —
     #                 a pallas_call inside a GSPMD program replicates.
+    #   "on"        — force the kernel past the device-count gate (caller
+    #                 guarantees per-shard execution, e.g. a shard_map
+    #                 step); training/size gates still apply.
     #   "off"       — always the XLA path.
     #   "interpret" — force the kernel in interpreter mode (CPU tests).
     fused_attention: str = "auto"

@@ -32,16 +32,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
-    """[shape] bool keep-mask: murmur3 finalizer of the linear element
-    index XOR'd with the seed; drop iff bits < rate * 2^32."""
-    x = jnp.zeros(shape, jnp.uint32)
-    stride = 1
-    for d in range(len(shape) - 1, -1, -1):
-        if shape[d] > 1:
-            x = x + jax.lax.broadcasted_iota(jnp.uint32, shape, d) * jnp.uint32(stride)
-        stride *= shape[d]
-    x = x ^ (jnp.asarray(seed).reshape(()).astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+def hash_keep_bits(counter: jax.Array, seed: jax.Array, rate: float) -> jax.Array:
+    """Murmur3-finalizer keep decision for uint32 element `counter`s: hash
+    (counter XOR seed*golden) and keep iff bits >= rate * 2^32. The SINGLE
+    definition shared by hash_dropout, the fused attention kernel's
+    in-register dropout (forward AND backward regenerate identical bits
+    from it), and the oracle tests — plain uint32 elementwise ops, legal
+    inside Pallas kernels."""
+    x = counter ^ (jnp.asarray(seed).reshape(()).astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -49,6 +47,17 @@ def keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
     x = x ^ (x >> 16)
     thresh = jnp.uint32(min(int(round(rate * 2**32)), 2**32 - 1))
     return x >= thresh
+
+
+def keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
+    """[shape] bool keep-mask: hash_keep_bits of the linear element index."""
+    x = jnp.zeros(shape, jnp.uint32)
+    stride = 1
+    for d in range(len(shape) - 1, -1, -1):
+        if shape[d] > 1:
+            x = x + jax.lax.broadcasted_iota(jnp.uint32, shape, d) * jnp.uint32(stride)
+        stride *= shape[d]
+    return hash_keep_bits(x, seed, rate)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -48,24 +48,20 @@ NEG_INF = -1e9
 
 
 def _dropout_keep(shape, dropout_rate: float, seed, h, b0, heads: int, lq: int, lk: int):
-    """Counter-based keep-mask: murmur3-finalizer hash of (seed, GLOBAL
-    element coordinate). drop iff bits < rate * 2^32. Because the counter is
-    the logical (batch, head, q, k) position — not anything block-relative —
-    forward and backward regenerate identical masks by construction, for any
-    block size, in both compiled and interpret modes (the hardware
-    `pltpu.prng_*` path has no interpreter support in this JAX version)."""
+    """Counter-based keep-mask: `hash_keep_bits` (ops/hash_dropout.py — the
+    single shared finalizer definition) of the GLOBAL element coordinate.
+    Because the counter is the logical (batch, head, q, k) position — not
+    anything block-relative — forward and backward regenerate identical
+    masks by construction, for any block size, in both compiled and
+    interpret modes (the hardware `pltpu.prng_*` path has no interpreter
+    support in this JAX version)."""
+    from rqvae_tpu.ops.hash_dropout import hash_keep_bits
+
     bi = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + b0).astype(jnp.uint32)
     qi = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     kj = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
     x = ((bi * jnp.uint32(heads) + jnp.uint32(h)) * jnp.uint32(lq) + qi) * jnp.uint32(lk) + kj
-    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x85EBCA6B)
-    x = x ^ (x >> 13)
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> 16)
-    thresh = jnp.uint32(min(int(round(dropout_rate * 2**32)), 2**32 - 1))
-    return x >= thresh
+    return hash_keep_bits(x, seed, dropout_rate)
 
 
 def _scores(q, k, bias, mask, causal: bool):
@@ -303,21 +299,18 @@ def t5_attention(
 
 def dropout_keep_oracle(seed, batch, heads, lq, lk, dropout_rate):
     """Pure-JAX replica of the kernel's counter-based keep mask
-    ([B, H, Lq, Lk] bool) — for oracle tests and debugging."""
+    ([B, H, Lq, Lk] bool) — for oracle tests and debugging. Differs from
+    the kernel only in counter layout (4-D iota vs per-block 3-D + offset);
+    the hash itself is the shared hash_keep_bits."""
+    from rqvae_tpu.ops.hash_dropout import hash_keep_bits
+
     shape = (batch, heads, lq, lk)
     bi = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     hi = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     qi = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
     kj = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
     x = ((bi * jnp.uint32(heads) + hi) * jnp.uint32(lq) + qi) * jnp.uint32(lk) + kj
-    x = x ^ (jnp.asarray(seed).reshape(()).astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x85EBCA6B)
-    x = x ^ (x >> 13)
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> 16)
-    thresh = jnp.uint32(min(int(round(dropout_rate * 2**32)), 2**32 - 1))
-    return x >= thresh
+    return hash_keep_bits(x, seed, dropout_rate)
 
 
 def attention_reference(q, k, v, bias, mask, *, causal=False, dropout_keep=None, dropout_rate=0.0):

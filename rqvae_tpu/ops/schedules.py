@@ -70,5 +70,9 @@ def gumbel_temperature_at(step, t0: float, min_t: float, anneal_rate: float, ste
     import jax.numpy as jnp
 
     n = (step + 1) // step_size
-    s = step_size * n * (n + 1) // 2 - n
-    return jnp.maximum(t0 * jnp.exp(-anneal_rate * jnp.asarray(s, jnp.float32)), min_t)
+    # the exponent sum in float32: for a traced int32 `step`,
+    # step_size*n*(n+1) overflows int32 within shipped budgets (e.g.
+    # step_size=10 at 400k iters), flipping exp(-rate*s) to exp(+huge)
+    nf = jnp.asarray(n, jnp.float32)
+    s = step_size * nf * (nf + 1.0) / 2.0 - nf
+    return jnp.maximum(t0 * jnp.exp(-anneal_rate * s), min_t)

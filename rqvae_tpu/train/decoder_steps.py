@@ -92,7 +92,7 @@ def _make_batch_builder(max_seq_len: int, leave_two_out: bool, subsample: bool, 
     return build
 
 
-def _accumulated_grads(grad_fn, params, one_micro, row_idx, u_start, u_end, drop_seeds, accum):
+def _accumulated_grads(one_micro, row_idx, u_start, u_end, drop_seeds, accum):
     """Mean grads/metrics over `accum` micro-batches; inputs are [A, ...]
     stacks. Reference train_decoder.py:181-187 (loss / accum, summed)."""
     if accum == 1:
@@ -154,7 +154,7 @@ def make_decoder_fused_train_step(
             return grad_fn(state.params, batch, jax.random.key(seed, impl="rbg"))
 
         grads, metrics = _accumulated_grads(
-            grad_fn, state.params, one_micro, row_idx, u_start, u_end, drop_seeds, accum
+            one_micro, row_idx, u_start, u_end, drop_seeds, accum
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -205,7 +205,7 @@ def make_decoder_scan_train_step(
                 return grad_fn(state.params, batch, jax.random.key(seed, impl="rbg"))
 
             grads, metrics = _accumulated_grads(
-                grad_fn, state.params, one_micro, row_idx, u_start, u_end, seeds, accum
+                one_micro, row_idx, u_start, u_end, seeds, accum
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -237,12 +237,21 @@ def make_decoder_shardmap_train_step(
     Dropout seeds fold in the device's axis index so shards draw
     independent masks.
     """
+    from dataclasses import replace
+
     from jax.sharding import PartitionSpec as P
 
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
+
+    # "auto" gates the fused kernel on device_count()==1 (under a plain
+    # GSPMD jit a pallas_call would be replicated), which would silently
+    # disable it HERE too — but per-shard execution is exactly what
+    # shard_map guarantees, so promote to the explicit "on" override
+    if model.config.t5_fused_attention == "auto" and jax.default_backend() == "tpu":
+        model = type(model)(replace(model.config, t5_fused_attention="on"))
 
     grad_fn = jax.value_and_grad(_make_loss_fn(model), has_aux=True)
 

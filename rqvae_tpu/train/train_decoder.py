@@ -89,7 +89,7 @@ def train(
     t5_dropout: float = 0.1,
     t5_dtype: str = "float32",
     t5_remat: bool = False,
-    t5_fused_attention: str = "auto",  # Pallas attention: "auto"|"off"|"interpret"
+    t5_fused_attention: str = "auto",  # Pallas attention: "auto"|"on"|"off"|"interpret"
     t5_hash_dropout: bool = True,  # counter-based dropout; False = flax nn.Dropout
     warmup_steps: int = 10000,
     sample_candidates: bool = False,

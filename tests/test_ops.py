@@ -199,6 +199,21 @@ class TestSchedules:
                 got = float(gumbel_temperature_at(i, t0, min_t, rate, step_size))
                 assert got == pytest.approx(want, rel=1e-5), (t0, rate, step_size, i)
 
+    def test_closed_form_temperature_no_int32_overflow(self):
+        # int32 TRACED step at the flagship 400k budget with a small
+        # step_size: the exponent sum ~8e9 overflows int32 arithmetic;
+        # must clamp to min_t, not blow up to inf/uniform sampling
+        import jax
+        import jax.numpy as jnp
+        from rqvae_tpu.ops.schedules import gumbel_temperature_at
+
+        got = float(
+            jax.jit(lambda s: gumbel_temperature_at(s, 1.0, 0.1, 1e-5, 10))(
+                jnp.int32(399_999)
+            )
+        )
+        assert got == pytest.approx(0.1)
+
 
 class TestTopKMetrics:
     def test_against_bruteforce(self):

@@ -14,12 +14,15 @@ The kernel therefore:
 - writes only the [rows, L] int32 semantic IDs back.
 
 HBM traffic = one read of the corpus + the id write, so the roofline is
-~0.5 ms for 65k x 768 rows on v5e (201 MB at ~800 GB/s, ~80 GFLOP at bf16
-peak). Measured: 2.88 ms device time at block_rows=512 (out/r2/
-profile_index.py, 50-iteration amortized) — ~6x off roofline; the grid's
-small per-tile matmuls (contraction dims 128/32 under-fill the MXU) and
-the VPU argmin/one-hot epilogue dominate. In practice the whole index
-build (3.66 ms device) is transport-dominated on remoted runtimes.
+~0.3-0.5 ms for 65k x 768 rows on v5e (100-201 MB at ~800 GB/s, ~80 GFLOP
+at bf16 peak). Measured: 0.84 ms device time at block_rows=512
+(benchmarks/token_phases.py, fold-proof differential timing — the earlier
+2.88 ms record carried the profiling harness's per-iteration dependency-
+injection copies) — within ~2x of roofline; the grid's small per-tile
+matmuls (contraction dims 128/32 under-fill the MXU) and the VPU
+argmin/one-hot epilogue account for the rest. The full index build is
+1.75 ms device time (sort-dedup 0.92 ms now dominates) and is transport-
+dominated on remoted runtimes.
 
 The residual subtract uses a one-hot matmul (MXU) instead of a row gather,
 which Pallas/Mosaic lowers poorly. Distances are always accumulated in

@@ -38,8 +38,12 @@ def hash_keep_bits(counter: jax.Array, seed: jax.Array, rate: float) -> jax.Arra
     definition shared by hash_dropout, the fused attention kernel's
     in-register dropout (forward AND backward regenerate identical bits
     from it), and the oracle tests — plain uint32 elementwise ops, legal
-    inside Pallas kernels."""
-    x = counter ^ (jnp.asarray(seed).reshape(()).astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    inside Pallas kernels.
+
+    `seed` must be a SCALAR array: no asarray/reshape here — a scalar
+    reshape inside a Pallas kernel trips a Mosaic vector.broadcast
+    lowering error on compiled TPU (interpret mode does not catch it)."""
+    x = counter ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -57,7 +61,7 @@ def keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
         if shape[d] > 1:
             x = x + jax.lax.broadcasted_iota(jnp.uint32, shape, d) * jnp.uint32(stride)
         stride *= shape[d]
-    return hash_keep_bits(x, seed, rate)
+    return hash_keep_bits(x, jnp.asarray(seed).reshape(()), rate)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -310,7 +310,7 @@ def dropout_keep_oracle(seed, batch, heads, lq, lk, dropout_rate):
     qi = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
     kj = jax.lax.broadcasted_iota(jnp.uint32, shape, 3)
     x = ((bi * jnp.uint32(heads) + hi) * jnp.uint32(lq) + qi) * jnp.uint32(lk) + kj
-    return hash_keep_bits(x, seed, dropout_rate)
+    return hash_keep_bits(x, jnp.asarray(seed).reshape(()), dropout_rate)
 
 
 def attention_reference(q, k, v, bias, mask, *, causal=False, dropout_keep=None, dropout_rate=0.0):

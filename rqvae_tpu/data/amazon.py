@@ -127,6 +127,8 @@ def process_amazon(
     from rqvae_tpu.data.registry import DATASET_MAX_SEQ_LEN, RecDataset
 
     out = {
+        "dataset_name": np.asarray("amazon"),
+        "dataset_split": np.asarray(split),
         "item_features": item_features.astype(np.float32),
         "item_is_train": item_is_train,
         "item_text": np.asarray(sentences),

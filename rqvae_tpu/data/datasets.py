@@ -166,12 +166,16 @@ class SeqDataset:
             assert rng is not None
             ids, fut = self._subsample_window(rng, batch_idx)
         elif self.format == "windows":
-            # window rows: last item is the target for every split
-            ids, fut = self._window(batch_idx, np.maximum(L - 1, 1))
+            # window rows: last item is the target for every split. Clamp
+            # hist_end to >= 0, NOT >= 1: a length-1 window must yield
+            # (empty history, fut = its only item) — clamping to 1 indexed
+            # one past the row's items, silently training on the -1
+            # padding's item-0 semantic ids
+            ids, fut = self._window(batch_idx, np.maximum(L - 1, 0))
         elif self.split in ("train", "eval"):
-            ids, fut = self._window(batch_idx, np.maximum(L - 2, 1))
+            ids, fut = self._window(batch_idx, np.maximum(L - 2, 0))
         else:  # test
-            ids, fut = self._window(batch_idx, np.maximum(L - 1, 1))
+            ids, fut = self._window(batch_idx, np.maximum(L - 1, 0))
 
         if with_features:
             x = self._gather_features(ids)

@@ -141,6 +141,7 @@ def process_ml1m(
     )
 
     out = {
+        "dataset_name": np.asarray("ml1m"),
         "item_features": item_features,
         "item_is_train": item_is_train,
         "item_text": np.asarray(titles),

@@ -2,11 +2,15 @@
 
 Reference parity: /root/reference/data/ml32m.py
 - CSV raw files (movies.csv, ratings.csv)                  (ml32m.py:36-39)
-- >=5-occurrence filtering on users and (user, movie) pairs (ml32m.py:92-96)
+- >=5-occurrence filtering on userId AND movieId, counts on the full
+  ratings table                                            (ml32m.py:92)
 - item features = sentence-T5 title embeddings + genre one-hots (ml32m.py:71-80)
-- ratings doubled to int (half-star scale)                 (ml32m.py:110)
 - user histories via sliding windows window=200, stride=180, 0.8
   timestamp-quantile train split                           (ml32m.py:111-117)
+- the reference additionally stores per-event half-star ratings doubled to
+  int alongside itemId in each window (ml32m.py:110); our windows carry
+  itemId only — the retrieval model consumes no rating signal (the
+  reference's own ML decoder path is dead, train_decoder.py:67-68)
 
 Raw files expected at {root}/raw/{movies.csv,ratings.csv}
 (https://files.grouplens.org/datasets/movielens/ml-32m.zip).
@@ -67,9 +71,14 @@ def process_ml32m(
 
     movie_mapping = {mid: i for i, mid in enumerate(movies["movieId"])}
 
-    # >=5-occurrence user filter (reference ml32m.py:92-96)
+    # >=5-occurrence filters on BOTH userId and movieId, counts taken on
+    # the full ratings table (reference ml32m.py:92 via
+    # preprocessing._remove_low_occurrence(ratings, ratings,
+    # ["userId", "movieId"]))
     user_counts = ratings["userId"].value_counts()
+    movie_counts = ratings["movieId"].value_counts()
     ratings = ratings[ratings["userId"].isin(user_counts[user_counts >= 5].index)]
+    ratings = ratings[ratings["movieId"].isin(movie_counts[movie_counts >= 5].index)]
     ratings = ratings[ratings["movieId"].isin(movie_mapping)]
 
     titles = [str(t).split("(")[0].strip() for t in movies["title"]]
@@ -95,6 +104,7 @@ def process_ml32m(
     )
 
     out = {
+        "dataset_name": np.asarray("ml32m"),
         "item_features": item_features,
         "item_is_train": item_is_train,
         "item_text": np.asarray(titles),

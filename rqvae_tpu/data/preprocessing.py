@@ -27,8 +27,7 @@ def remove_low_occurrence_ids(ids: np.ndarray, min_count: int = 5) -> np.ndarray
     """Boolean keep-mask over `ids` rows: keep values occurring >= min_count
     (reference preprocessing.py:29-37)."""
     vals, counts = np.unique(ids, return_counts=True)
-    keep_vals = set(vals[counts >= min_count].tolist())
-    return np.fromiter((i in keep_vals for i in ids), bool, len(ids))
+    return np.isin(ids, vals[counts >= min_count])
 
 
 def hashed_text_features(texts: Sequence[str], dim: int = 768) -> np.ndarray:

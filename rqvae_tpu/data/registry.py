@@ -55,4 +55,36 @@ def ensure_dataset(root: str, dataset: RecDataset, split: str | None = None, for
             process_ml32m(root)
         else:
             raise ValueError(f"Unknown dataset {dataset}")
-    return load_processed(root)
+    data = load_processed(root)
+    _check_stamp(data, dataset, split, root)
+    return data
+
+
+_STAMPS = {
+    RecDataset.AMAZON: "amazon",
+    RecDataset.ML_1M: "ml1m",
+    RecDataset.ML_32M: "ml32m",
+    RecDataset.SYNTHETIC: "synthetic",
+}
+
+
+def _check_stamp(data: dict, dataset: RecDataset, split: str | None, root: str) -> None:
+    """Refuse to train on a pre-existing npz produced for a DIFFERENT
+    dataset or Amazon split at the same root (each pipeline stamps
+    dataset_name/dataset_split into the file; unstamped legacy files pass)."""
+    name = str(data["dataset_name"]) if "dataset_name" in data else None
+    want = _STAMPS[dataset]
+    if name is not None and name != want:
+        raise ValueError(
+            f"{root}/processed/data.npz was produced by the '{name}' pipeline "
+            f"but dataset={want} was requested; use a different dataset_folder "
+            "or force=True to reprocess"
+        )
+    if dataset == RecDataset.AMAZON and split and "dataset_split" in data:
+        have = str(data["dataset_split"])
+        if have != split:
+            raise ValueError(
+                f"{root}/processed/data.npz holds the Amazon '{have}' split "
+                f"but split='{split}' was requested; use a different "
+                "dataset_folder or force=True to reprocess"
+            )

@@ -117,7 +117,7 @@ def save(path: str, data: dict) -> None:
 
 def generate_and_save(root: str, cfg: SyntheticConfig = SyntheticConfig()) -> str:
     path = os.path.join(root, "processed", "data.npz")
-    save(path, generate(cfg))
+    save(path, {**generate(cfg), "dataset_name": np.asarray("synthetic")})
     return path
 
 

@@ -22,9 +22,23 @@ def initialize_distributed() -> None:
     global _initialized
     if _initialized:
         return
-    # Only initialize when a coordinator is configured; plain single-host
-    # runs (including tests) skip this entirely.
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+    # Initialize when a coordinator is configured explicitly, OR when the
+    # environment carries Cloud TPU pod markers (multi-host slices export
+    # worker topology; jax.distributed.initialize() auto-detects the
+    # coordinator from TPU metadata there). Plain single-host runs
+    # (including tests) skip this entirely. RQVAE_TPU_DISTRIBUTED=1
+    # forces it; =0 disables.
+    force = os.environ.get("RQVAE_TPU_DISTRIBUTED")
+    # TPU_WORKER_HOSTNAMES is set to the single local host on one-host TPU
+    # VMs too — it only signals a pod when it lists MULTIPLE workers
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    pod_markers = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or ("," in workers)
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if force != "0" and (force == "1" or pod_markers):
         jax.distributed.initialize()
     _initialized = True
 

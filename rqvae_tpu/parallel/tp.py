@@ -53,8 +53,14 @@ def retrieval_param_specs(params):
             if all(any(n == needle for n in names) for needle in needles):
                 if len(spec) == leaf.ndim:
                     return spec
-                # pad leading dims as replicated (e.g. scanned params)
-                return P(*([None] * (leaf.ndim - len(spec)) + list(spec)))
+                if leaf.ndim > len(spec):
+                    # pad leading dims as replicated (e.g. scanned params)
+                    return P(*([None] * (leaf.ndim - len(spec)) + list(spec)))
+                # leaf has FEWER dims than the rule (e.g. a 1-D bias
+                # matching a matmul rule): shard its trailing dims by the
+                # rule's trailing entries rather than building an over-long
+                # spec that device_put would reject
+                return P(*list(spec)[len(spec) - leaf.ndim:])
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -97,12 +97,19 @@ class Retriever:
         model: EncoderDecoderRetrievalModel,
         params,
         tokenizer: SemanticIdTokenizer,
+        seed: Optional[int] = None,
     ):
         if tokenizer.cached_ids is None:
             raise ValueError("Tokenizer has no corpus index; call precompute_corpus_ids first")
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
+        # sampled-candidate mode draws fresh Gumbel noise per retrieve()
+        # call (reference: torch.multinomial per call, model.py:345); a
+        # fixed seed makes serving reproducible end-to-end
+        import secrets
+
+        self._rng = jax.random.PRNGKey(secrets.randbits(31) if seed is None else seed)
 
         L = model.config.num_hierarchies
         K = model.config.codebook_size
@@ -160,5 +167,7 @@ class Retriever:
         )
         tok = self.tokenizer(batch)
         if self.model.config.sample_candidates and rng is None:
-            rng = jax.random.PRNGKey(0)
+            # advance internal state: each call must sample fresh noise
+            # (a fixed key would silently freeze the candidate sets)
+            self._rng, rng = jax.random.split(self._rng)
         return self._query(self.params, tok.sem_ids, tok.seq_mask, tok.user_ids, rng)

@@ -59,21 +59,12 @@ class SemanticIdTokenizer:
         self.use_pallas = use_pallas
         self.pallas_precision = pallas_precision
 
-        cfg = model.config
-
         @jax.jit
         def _encode_chunk(params, x):
             out = model.apply(params, x, training=False, method=RqVae.get_semantic_ids)
             return out.sem_ids  # [b, L]
 
         self._encode_chunk = _encode_chunk
-
-        @jax.jit
-        def _corpus_ids(params, x_chunks):  # [nb, b, D]
-            ids = jax.lax.map(lambda x: _encode_chunk(params, x), x_chunks)
-            return ids.reshape(-1, cfg.n_layers)
-
-        self._corpus_ids = _corpus_ids
 
     @property
     def n_layers(self) -> int:

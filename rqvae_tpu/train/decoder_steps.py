@@ -84,7 +84,9 @@ def _make_batch_builder(max_seq_len: int, leave_two_out: bool, subsample: bool, 
             )
         else:
             L = seq_lengths[row_idx]
-            hist_end = jnp.maximum(L - 2 if leave_two_out else L - 1, 1)
+            # clamp to 0, not 1: length-1 rows must target their only item
+            # with an empty history (see datasets.SeqData.batch)
+            hist_end = jnp.maximum(L - 2 if leave_two_out else L - 1, 0)
             hist, fut = eval_windows(seq_items, seq_lengths, row_idx, hist_end, max_seq_len)
         hist, fut = constrain(hist), constrain(fut)
         return _tokenize_from_cache(cached_ids, user_ids[row_idx], hist, fut, hist >= 0)

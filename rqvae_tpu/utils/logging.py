@@ -62,7 +62,11 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
         if echo:
-            parts = ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items() if isinstance(v, float))
+            # record already coerced every value with float(); reuse it so
+            # numpy/JAX scalars echo too (isinstance(v, float) dropped them)
+            parts = ", ".join(
+                f"{k}: {v:.4f}" for k, v in record.items() if k not in ("step", "time")
+            )
             print(f"[{step}] {parts}", file=sys.stderr)
 
     def close(self) -> None:

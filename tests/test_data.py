@@ -132,3 +132,53 @@ class TestSeqDataset:
             assert batch.ids.shape[0] == 32
             seen += valid
         assert seen == len(ds)
+
+
+class TestWindowsFormatShortRows:
+    def _data(self):
+        # windows-format dataset with a length-1 eval row and a length-3 row
+        return {
+            "seq_format": "windows",
+            "seq_items": np.array([[7, -1, -1], [2, 5, 9], [4, -1, -1]], np.int64),
+            "seq_lengths": np.array([1, 3, 1], np.int64),
+            "seq_is_train": np.array([False, False, True]),
+            "user_ids": np.array([0, 1, 2], np.int64),
+            "item_features": np.zeros((10, 4), np.float32),
+            "max_seq_len": 3,
+        }
+
+    def test_length_one_window_targets_its_only_item(self):
+        # regression: hist_end clamped to 1 used to index PADDING (-1),
+        # which the tokenizer then mapped to item 0's semantic ids
+        ds = SeqDataset(self._data(), split="eval")
+        b = ds.batch(np.arange(2))
+        assert b.ids_fut[0] == 7  # the row's only item, not -1
+        assert (b.ids[0] == -1).all()  # empty history
+        assert b.ids_fut[1] == 9
+        np.testing.assert_array_equal(b.ids[1, :2], [2, 5])
+
+    def test_jit_eval_windows_matches(self):
+        import jax.numpy as jnp
+        from rqvae_tpu.data.jax_sampling import eval_windows
+
+        d = self._data()
+        L = d["seq_lengths"]
+        hist_end = np.maximum(L - 1, 0)
+        hist, fut = eval_windows(
+            jnp.asarray(d["seq_items"]), jnp.asarray(L), jnp.arange(3), jnp.asarray(hist_end), 3
+        )
+        np.testing.assert_array_equal(np.asarray(fut), [7, 9, 4])
+        assert (np.asarray(hist)[0] == -1).all()
+
+
+class TestRegistryStamp:
+    def test_mismatched_dataset_at_same_root_is_refused(self, tmp_path):
+        import pytest as _pytest
+        from rqvae_tpu.data.registry import RecDataset, ensure_dataset
+
+        root = str(tmp_path / "ds")
+        d = ensure_dataset(root, RecDataset.SYNTHETIC)  # generates + stamps
+        assert str(d["dataset_name"]) == "synthetic"
+        # same root, different dataset: must refuse, not silently reuse
+        with _pytest.raises(ValueError, match="synthetic"):
+            ensure_dataset(root, RecDataset.AMAZON, split="beauty")

@@ -216,3 +216,19 @@ class TestShardedTokenizer:
         )
         out = sharded.precompute_corpus_ids(corpus)
         np.testing.assert_array_equal(np.asarray(out), ids_plain)
+
+
+class TestTpSpecEdge:
+    def test_low_rank_leaf_gets_trailing_spec(self):
+        # a 1-D leaf matching a matmul rule (e.g. a bias under "wi") must
+        # get the rule's trailing entries, not an over-long PartitionSpec
+        import numpy as np
+
+        params = {"params": {"encoder": {"block_0": {"ffn": {"wi": {
+            "kernel": np.zeros((8, 16), np.float32),
+            "bias": np.zeros((16,), np.float32),
+        }}}}}}
+        specs = retrieval_param_specs(params)
+        wi = specs["params"]["encoder"]["block_0"]["ffn"]["wi"]
+        assert wi["kernel"] == P(None, "model")
+        assert wi["bias"] == P("model")

@@ -199,13 +199,17 @@ class SeqDataset:
         idx = rng.randint(0, len(self), batch_size)
         return self.batch(idx, rng, with_features)
 
-    def iter_eval_batches(self, batch_size: int, with_features: bool = True):
-        """Sequential full pass; the last short batch is padded by repeating
-        row 0 with a validity count so shapes stay static."""
+    def iter_eval_batches(self, batch_size: int, with_features: bool = True, pad_final: bool = True):
+        """Sequential full pass. With pad_final the last short batch is
+        padded by repeating row 0 with a validity count so shapes stay
+        static (consumers must slice [:valid] BEFORE any mean — a padded
+        batch mean times `valid` is biased toward row 0); with
+        pad_final=False the final batch is yielded at its exact size (one
+        extra compiled shape, exact means)."""
         n = len(self)
         for s in range(0, n, batch_size):
             idx = np.arange(s, min(s + batch_size, n))
             valid = len(idx)
-            if valid < batch_size:
+            if pad_final and valid < batch_size:
                 idx = np.concatenate([idx, np.zeros(batch_size - valid, np.int64)])
             yield self.batch(idx, None, with_features), valid

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from rqvae_tpu.data.schemas import TokenizedSeqBatch
 from rqvae_tpu.models.t5 import T5Stack, T5StackConfig
 from rqvae_tpu.serving.beam import PrefixTable, extend_keys, is_valid_prefix
-from rqvae_tpu.models.mlp import torch_linear_init
+from rqvae_tpu.models.mlp import stacked_torch_linear_init
 from rqvae_tpu.ops.embedding import embedding_lookup
 from rqvae_tpu.ops.gumbel import sample_without_replacement
 
@@ -124,8 +124,10 @@ class EncoderDecoderRetrievalModel(nn.Module):
             )
         self.encoder = T5Stack(cfg.t5, is_decoder=False, name="encoder")
         self.decoder = T5Stack(cfg.t5, is_decoder=True, name="decoder")
-        # per-hierarchy output heads [L, d, K] (reference: L x Linear(d, K))
-        self.heads = self.param("heads", torch_linear_init, (L, d, K))
+        # per-hierarchy output heads [L, d, K] (reference: L x Linear(d, K));
+        # stacked init draws each level at torch Linear's U(-1/sqrt(d), .)
+        # (plain variance_scaling would fold L into fan_in: sqrt(L) small)
+        self.heads = self.param("heads", stacked_torch_linear_init, (L, d, K))
 
     # ---------- shared helpers ----------
 
@@ -224,6 +226,12 @@ class EncoderDecoderRetrievalModel(nn.Module):
     ) -> GenerationOutput:
         """Constrained beam search (reference model.py:300-391)."""
         cfg = self.config
+        if cfg.sample_candidates and rng is None:
+            raise ValueError(
+                "sample_candidates=True requires an rng key for generate() "
+                "(the reference draws torch.multinomial noise per call, "
+                "model.py:345); pass rng=jax.random.PRNGKey(...)"
+            )
         L, K, k = cfg.num_hierarchies, cfg.codebook_size, cfg.top_k_for_generation
         D = L + 1
         input_ids = strip_dedup_col(sem_ids, D, L)

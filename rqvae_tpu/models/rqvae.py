@@ -98,10 +98,13 @@ class RqVae(nn.Module):
         )
         if cfg.sim_vq:
             # SimVQ (arXiv:2411.02038): frozen-codebook out-projection,
-            # one [D, D] linear per level (reference quantize.py:75-78).
+            # one [D, D] linear per level (reference quantize.py:75-78);
+            # per-level torch Linear bound 1/sqrt(D), not 1/sqrt(L*D)
+            from rqvae_tpu.models.mlp import stacked_torch_linear_init
+
             self.out_proj = self.param(
                 "out_proj",
-                nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+                stacked_torch_linear_init,
                 (cfg.n_layers, cfg.embed_dim, cfg.embed_dim),
             )
 

@@ -315,10 +315,14 @@ def train(
             summary.update(log)
 
         if (it + 1) % partial_eval_every == 0:
-            ev, n_ev = None, 0
-            for eb, valid in eval_dataset.iter_eval_batches(batch_size, with_features=False):
+            # pad_final=False: the eval step returns a batch MEAN, which a
+            # padded final batch would bias toward its pad row
+            ev, n_ev = 0.0, 0
+            for eb, valid in eval_dataset.iter_eval_batches(
+                batch_size, with_features=False, pad_final=False
+            ):
                 m = jax.device_get(eval_step(state.params, tokenizer(eb)))
-                ev = float(m["eval_loss"]) * valid if ev is None else ev + float(m["eval_loss"]) * valid
+                ev += float(m["eval_loss"]) * valid
                 n_ev += valid
             summary["eval_loss"] = ev / max(n_ev, 1)
             logger.log(it, {"eval_loss": summary["eval_loss"]}, echo=is_main)

@@ -274,7 +274,9 @@ def train(
             logger.log(
                 it,
                 {**host_metrics, **roll, "temperature": t, "learning_rate": learning_rate},
-                echo=is_main and (it % (log_every * 10) == 0),
+                # this branch only runs at it = m*log_every - 1, so the
+                # echo cadence must use (it+1) like train_decoder does
+                echo=is_main and ((it + 1) % (log_every * 10) == 0),
             )
             summary.update(host_metrics)
 
@@ -311,13 +313,12 @@ def _run_eval(eval_step, params, eval_items: ItemDataset, batch_size: int, t: fl
     n = len(eval_items)
     sums, count = None, 0
     for s in range(0, n, batch_size):
+        # the eval step returns batch MEANS: run the final short batch at
+        # its exact size (one extra compiled shape) — padding it and
+        # multiplying the padded mean by the true count biases every
+        # metric toward the pad row
         x = eval_items.features[s : s + batch_size]
-        if x.shape[0] < batch_size:  # pad to static shape, weight by true count
-            pad = np.repeat(x[:1], batch_size - x.shape[0], axis=0)
-            xp = np.concatenate([x, pad])
-        else:
-            xp = x
-        m = jax.device_get(eval_step(params, jnp.asarray(xp), jnp.float32(t)))
+        m = jax.device_get(eval_step(params, jnp.asarray(x), jnp.float32(t)))
         w = x.shape[0]
         m = {k: float(v) * w for k, v in m.items()}
         sums = m if sums is None else {k: sums[k] + m[k] for k in m}

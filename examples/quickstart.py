@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from rqvae_tpu.data.datasets import SeqDataset, load_processed
+from rqvae_tpu.data.datasets import ItemDataset, SeqDataset, load_processed
 from rqvae_tpu.data.registry import RecDataset
 from rqvae_tpu.models.quantize import QuantizeForwardMode
 from rqvae_tpu.serving.retriever import Retriever
@@ -82,11 +82,13 @@ def main(workdir: str | None = None, small: bool = True) -> None:
           f"ndcg={s2.get('ndcg', float('nan')):.3f}")
 
     # ---- serving: history of item ids -> top-k item ids ---------------------
-    feats = load_processed(ds)["item_features"]
+    data = load_processed(ds)
+    # ItemDataset applies the dataset's feature_dim truncation — the same
+    # features training indexed (raw item_features may be wider)
+    feats = ItemDataset(data, "all").features
     retriever = Retriever.from_checkpoints(
         s1["checkpoint_path"], s2["checkpoint_path"], feats
     )
-    data = load_processed(ds)
     test = SeqDataset(data, split="test")
     batch = test.batch(np.arange(4), with_features=False)
     result = retriever.retrieve(np.asarray(batch.ids), np.asarray(batch.user_ids))

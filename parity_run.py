@@ -46,12 +46,22 @@ def main() -> None:
                     help="scaled-down budgets (2k/500 iters) for sanity runs")
     args = ap.parse_args()
 
+    # resolve user paths against the INVOCATION cwd before chdir-ing to the
+    # repo root (configs use repo-relative paths) — otherwise relative
+    # --workdir/--outdir/--out silently land inside the repo tree
+    workdir = os.path.abspath(args.workdir) if args.workdir else None
+    outdir = os.path.abspath(args.outdir) if args.outdir else None
+    out_json = os.path.abspath(args.out) if args.out else None
+
     root = os.path.dirname(os.path.abspath(__file__))
     os.chdir(root)
     cfg1_path, cfg2_path = CONFIGS[args.dataset]
-    workdir = args.workdir or os.path.join("dataset", args.dataset)
-    outdir = args.outdir or os.path.join("out", "parity", args.dataset)
-    out_json = args.out or os.path.join(outdir, "parity.json")
+    # default workdir is per (dataset, split): two Amazon splits at one
+    # root would trip ensure_dataset's stamp check
+    ds_key = args.dataset + (f"_{args.split}" if args.split else "")
+    workdir = workdir or os.path.join("dataset", ds_key)
+    outdir = outdir or os.path.join("out", "parity", ds_key)
+    out_json = out_json or os.path.join(outdir, "parity.json")
 
     from rqvae_tpu.train.train_decoder import train as train_decoder
     from rqvae_tpu.train.train_rqvae import train as train_rqvae
@@ -104,7 +114,9 @@ def main() -> None:
     result["stage2_wall_s"] = time.time() - t0
     result["metrics"] = {k: s2[k] for k in s2 if k.startswith("h@") or k == "ndcg"}
 
-    os.makedirs(os.path.dirname(out_json), exist_ok=True)
+    out_dir = os.path.dirname(out_json)
+    if out_dir:  # bare filenames have no directory to create
+        os.makedirs(out_dir, exist_ok=True)
     with open(out_json, "w") as f:
         json.dump(result, f, indent=2)
     print(f"[parity] wrote {out_json}")

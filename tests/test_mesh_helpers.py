@@ -61,3 +61,34 @@ class TestProfilerTrace:
         for root, _, files in os.walk(tmp_path):
             found.extend(files)
         assert found, "no trace files written"
+
+
+class TestDistGate:
+    """initialize_distributed must only call jax.distributed.initialize()
+    under real pod markers (rqvae_tpu/parallel/dist.py)."""
+
+    def _calls(self, monkeypatch, env):
+        import rqvae_tpu.parallel.dist as dist
+
+        calls = []
+        monkeypatch.setattr(dist.jax.distributed, "initialize", lambda: calls.append(1))
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "RQVAE_TPU_DISTRIBUTED"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        monkeypatch.setattr(dist, "_initialized", False)
+        dist.initialize_distributed()
+        return len(calls)
+
+    def test_single_host_markers_do_not_initialize(self, monkeypatch):
+        assert self._calls(monkeypatch, {}) == 0
+        # single-worker TPU VMs export their own hostname — NOT a pod
+        assert self._calls(monkeypatch, {"TPU_WORKER_HOSTNAMES": "localhost"}) == 0
+        assert self._calls(monkeypatch, {"RQVAE_TPU_DISTRIBUTED": "0",
+                                         "JAX_COORDINATOR_ADDRESS": "h:1234"}) == 0
+
+    def test_pod_markers_initialize(self, monkeypatch):
+        assert self._calls(monkeypatch, {"JAX_COORDINATOR_ADDRESS": "h:1234"}) == 1
+        assert self._calls(monkeypatch, {"TPU_WORKER_HOSTNAMES": "h0,h1,h2,h3"}) == 1
+        assert self._calls(monkeypatch, {"RQVAE_TPU_DISTRIBUTED": "1"}) == 1

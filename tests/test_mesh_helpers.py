@@ -1,4 +1,5 @@
-"""Mesh helper coverage: global batch assembly and sharding specs."""
+"""parallel/ coverage: mesh helpers (global batch assembly, sharding
+specs) and the multi-host initialization gate (dist.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -90,5 +91,7 @@ class TestDistGate:
 
     def test_pod_markers_initialize(self, monkeypatch):
         assert self._calls(monkeypatch, {"JAX_COORDINATOR_ADDRESS": "h:1234"}) == 1
+        assert self._calls(monkeypatch, {"COORDINATOR_ADDRESS": "h:1234"}) == 1
         assert self._calls(monkeypatch, {"TPU_WORKER_HOSTNAMES": "h0,h1,h2,h3"}) == 1
+        assert self._calls(monkeypatch, {"MEGASCALE_COORDINATOR_ADDRESS": "h:8080"}) == 1
         assert self._calls(monkeypatch, {"RQVAE_TPU_DISTRIBUTED": "1"}) == 1

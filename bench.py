@@ -36,15 +36,16 @@ import time
 
 import numpy as np
 
-N_ITEMS = 65536
+QUICK = os.environ.get("RQVAE_TPU_BENCH_QUICK") == "1"  # tiny geometry for suite tests
+N_ITEMS = 2048 if QUICK else 65536
 INPUT_DIM = 768
 HIDDEN = [512, 256, 128]
 EMBED = 32
 K = 256
 L = 3
-BEAM_B = 64
+BEAM_B = 8 if QUICK else 64
 BEAM_K = 10
-BEAM_CORPUS = 20000
+BEAM_CORPUS = 500 if QUICK else 20000
 BEAM_SEQ_ITEMS = 20
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 REFERENCE_DIR = "/root/reference"
@@ -375,12 +376,14 @@ def _load_or_establish_baselines() -> dict:
                 "torch-CPU reimplementation of the reference tokenization path "
                 f"(sequential 512 batches + cumulative pairwise dedup), N={N_ITEMS}"
             )
-        except Exception as e:  # no torch on this host: don't block the metric
+            changed = True
+        except Exception as e:  # no torch on this host: don't block the metric.
+            # In-memory only — persisting the constant would stop torch-capable
+            # hosts from ever measuring a real baseline.
             print(f"# tokenization baseline unavailable ({e}); using recorded value", file=sys.stderr)
             base["items_per_sec"] = 1728.0
             base["note"] = "recorded torch-CPU baseline (live measurement unavailable)"
-        changed = True
-    if "beam_queries_per_sec" not in base and os.path.isdir(REFERENCE_DIR):
+    if "beam_queries_per_sec" not in base and os.path.isdir(REFERENCE_DIR) and not QUICK:
         try:
             beam = measure_torch_beam_baseline()
             base["beam_queries_per_sec"] = beam["queries_per_sec"]
@@ -392,18 +395,46 @@ def _load_or_establish_baselines() -> dict:
             changed = True
         except Exception as e:  # reference tree or its deps unavailable
             print(f"# beam baseline unavailable: {e}", file=sys.stderr)
-    if changed:
+    if changed and not QUICK:  # never persist quick-geometry numbers
         with open(BASELINE_FILE, "w") as f:
             json.dump(base, f, indent=2)
     return base
 
 
+def _force_cpu_backend() -> None:
+    """Make the CPU fallback actually land on CPU. The axon PJRT plugin is
+    registered by sitecustomize whenever PALLAS_AXON_POOL_IPS is set, and it
+    can win device selection even with JAX_PLATFORMS=cpu in the re-exec'd
+    process (observed in BENCH_r02.json: "falling back to CPU" followed by a
+    TPU v5 device). Belt and braces: the re-exec env drops the axon trigger
+    vars (see main), and this asserts/forces via the config API before any
+    device touch."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu":
+        raise RuntimeError(
+            f"CPU fallback failed: backend is {jax.default_backend()!r} after "
+            "forcing jax_platforms=cpu"
+        )
+    print(f"# CPU fallback active: backend={jax.default_backend()}", file=sys.stderr)
+
+
 def main() -> None:
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _device_healthy():
-        # accelerator wedged: re-exec on CPU so the driver still gets a line
+    wedged = os.environ.get("RQVAE_TPU_BENCH_FORCE_WEDGE") == "1"  # test knob
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and (wedged or not _device_healthy()):
+        # accelerator wedged: re-exec on CPU so the driver still gets a line.
+        # Drop the axon-plugin trigger vars so sitecustomize never registers
+        # the TPU backend in the child — JAX_PLATFORMS=cpu alone is not
+        # enough (the plugin overrode it in round 2).
         print("# accelerator unresponsive; falling back to CPU", file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.execvpe(sys.executable, [sys.executable] + sys.argv, os.environ)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.pop("RQVAE_TPU_BENCH_FORCE_WEDGE", None)
+        os.execvpe(sys.executable, [sys.executable] + sys.argv, env)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        _force_cpu_backend()
 
     base = _load_or_establish_baselines()
     ours = measure_jax()

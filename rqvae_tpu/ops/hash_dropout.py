@@ -55,6 +55,11 @@ def hash_keep_bits(counter: jax.Array, seed: jax.Array, rate: float) -> jax.Arra
 
 def keep_mask(seed: jax.Array, shape, rate: float) -> jax.Array:
     """[shape] bool keep-mask: hash_keep_bits of the linear element index."""
+    if math.prod(shape) >= 2**32:
+        raise ValueError(
+            f"keep_mask over {shape}: {math.prod(shape)} elements overflows the "
+            "uint32 linear counter (masks would silently repeat)"
+        )
     x = jnp.zeros(shape, jnp.uint32)
     stride = 1
     for d in range(len(shape) - 1, -1, -1):

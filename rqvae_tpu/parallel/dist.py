@@ -29,6 +29,11 @@ def initialize_distributed() -> None:
     # (including tests) skip this entirely. RQVAE_TPU_DISTRIBUTED=1
     # forces it; =0 disables.
     force = os.environ.get("RQVAE_TPU_DISTRIBUTED")
+    if force not in (None, "", "0", "1"):
+        raise ValueError(
+            f"RQVAE_TPU_DISTRIBUTED={force!r}: must be '0' or '1' "
+            "(typos would otherwise silently fall through to auto-detection)"
+        )
     # TPU_WORKER_HOSTNAMES is set to the single local host on one-host TPU
     # VMs too — it only signals a pod when it lists MULTIPLE workers
     workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")

@@ -57,6 +57,14 @@ class TestHashDropout:
         s = dropout_seed(jax.random.PRNGKey(0))
         assert s.shape == () and s.dtype == jnp.int32
 
+    def test_counter_overflow_rejected(self):
+        # >= 2^32 elements would wrap the uint32 linear counter and repeat
+        # the mask; keep_mask must fail loudly instead (static check)
+        import pytest
+
+        with pytest.raises(ValueError, match="uint32"):
+            keep_mask(jnp.int32(0), (2**17, 2**16), 0.1)
+
 
 class TestT5StackHashDropout:
     CFG = T5StackConfig(d_model=64, d_kv=16, num_heads=4, d_ff=128, num_layers=2, dropout=0.2)

@@ -95,3 +95,11 @@ class TestDistGate:
         assert self._calls(monkeypatch, {"TPU_WORKER_HOSTNAMES": "h0,h1,h2,h3"}) == 1
         assert self._calls(monkeypatch, {"MEGASCALE_COORDINATOR_ADDRESS": "h:8080"}) == 1
         assert self._calls(monkeypatch, {"RQVAE_TPU_DISTRIBUTED": "1"}) == 1
+
+    def test_force_knob_rejects_typos(self, monkeypatch):
+        # "true"/"yes" must raise, not silently fall through to auto-detect
+        import pytest
+
+        for bad in ("true", "yes", "2"):
+            with pytest.raises(ValueError, match="RQVAE_TPU_DISTRIBUTED"):
+                self._calls(monkeypatch, {"RQVAE_TPU_DISTRIBUTED": bad})

@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="result JSON path (default <outdir>/parity.json)")
     ap.add_argument("--quick", action="store_true",
                     help="scaled-down budgets (2k/500 iters) for sanity runs")
+    ap.add_argument("--set", action="append", default=[], metavar="STAGE.KEY=VALUE",
+                    dest="sets",
+                    help="extra trainer overrides parsed as Python literals, "
+                         "e.g. --set s1.iterations=8 --set s2.batch_size=32 "
+                         "--set both.do_eval=False (s1=stage 1, s2=stage 2)")
     args = ap.parse_args()
 
     # resolve user paths against the INVOCATION cwd before chdir-ing to the
@@ -65,7 +70,24 @@ def main() -> None:
 
     from rqvae_tpu.train.train_decoder import train as train_decoder
     from rqvae_tpu.train.train_rqvae import train as train_rqvae
-    from rqvae_tpu.utils.config import apply_config, parse_config_file
+    from rqvae_tpu.utils.config import _parse_value, apply_config, parse_config_file
+
+    # --set overrides, applied AFTER --quick clamps (so smoke runs can go
+    # below the quick budgets: tests drive this CLI over raw fixtures)
+    set1, set2 = {}, {}
+    for item in args.sets:
+        try:
+            key, raw = item.split("=", 1)
+            stage, name = key.split(".", 1)
+        except ValueError:
+            raise SystemExit(f"--set expects STAGE.KEY=VALUE, got {item!r}")
+        if stage not in ("s1", "s2", "both"):
+            raise SystemExit(f"--set stage must be s1/s2/both, got {stage!r}")
+        val = _parse_value(raw)
+        if stage in ("s1", "both"):
+            set1[name] = val
+        if stage in ("s2", "both"):
+            set2[name] = val
 
     result = {
         "dataset": args.dataset,
@@ -84,6 +106,10 @@ def main() -> None:
     if args.quick:
         it1 = min(cfg1.get("iterations", 2000), 2000)
         ov1.update(iterations=it1, eval_every=it1, save_model_every=it1)
+    ov1.update(set1)
+    if "iterations" in set1:  # keep cadences consistent with a clamped budget
+        ov1.setdefault("eval_every", set1["iterations"])
+        ov1["save_model_every"] = min(ov1.get("save_model_every", set1["iterations"]), set1["iterations"])
     t0 = time.time()
     s1 = apply_config(train_rqvae, cfg1_path, **ov1)
     result["stage1"] = {k: v for k, v in s1.items() if isinstance(v, (int, float, str)) or v is None}
@@ -108,6 +134,12 @@ def main() -> None:
             iterations=it, partial_eval_every=it, full_eval_every=it,
             save_model_every=it, warmup_steps=min(cfg2.get("warmup_steps", 10000), 100),
         )
+    ov2.update(set2)
+    if "iterations" in set2:  # keep cadences consistent with a clamped budget
+        it = set2["iterations"]
+        for k in ("partial_eval_every", "full_eval_every", "save_model_every"):
+            ov2[k] = min(ov2.get(k, it), it)
+        ov2.setdefault("warmup_steps", min(cfg2.get("warmup_steps", 10000), it))
     t0 = time.time()
     s2 = apply_config(train_decoder, cfg2_path, **ov2)
     result["stage2"] = {k: v for k, v in s2.items() if isinstance(v, (int, float, str)) or v is None}

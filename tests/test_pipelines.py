@@ -1,12 +1,9 @@
 """Real-dataset pipeline tests on miniature fake raw files (hermetic: the
 hash text encoder stands in for sentence-T5)."""
 
-import gzip
-import json
-import os
-
 import numpy as np
 import pytest
+from rawfixtures import write_amazon_raw, write_ml1m_raw, write_ml32m_raw
 
 from rqvae_tpu.data.amazon import process_amazon
 from rqvae_tpu.data.datasets import ItemDataset, SeqDataset, load_processed
@@ -58,37 +55,8 @@ class TestPreprocessingOps:
 
 @pytest.fixture
 def amazon_root(tmp_path):
-    raw = tmp_path / "raw" / "beauty"
-    os.makedirs(raw)
     # 6 users, 8 items (1-based in raw files)
-    seqs = [
-        [1, 2, 3, 4, 5, 6],
-        [2, 3, 4, 5, 6, 7],
-        [3, 4, 5, 6, 7, 8],
-        [1, 3, 5, 7, 2, 4, 6],
-        [8, 7, 6, 5, 4, 3],
-        [1, 2, 4, 8, 3, 5],
-    ]
-    with open(raw / "sequential_data.txt", "w") as f:
-        for u, s in enumerate(seqs, 1):
-            f.write(" ".join(map(str, [u] + s)) + "\n")
-    with open(raw / "datamaps.json", "w") as f:
-        json.dump({"item2id": {f"ASIN{i}": str(i) for i in range(1, 9)}}, f)
-    with gzip.open(raw / "meta.json.gz", "wt") as f:
-        for i in range(1, 9):
-            f.write(
-                repr(
-                    {
-                        "asin": f"ASIN{i}",
-                        "title": f"Product {i}",
-                        "brand": f"Brand{i % 3}",
-                        "categories": [["Beauty", f"Sub{i}"]],
-                        "price": 9.99 + i,
-                    }
-                )
-                + "\n"
-            )
-    return str(tmp_path)
+    return write_amazon_raw(str(tmp_path))
 
 
 class TestAmazonPipeline:
@@ -117,24 +85,7 @@ class TestAmazonPipeline:
 
 @pytest.fixture
 def ml1m_root(tmp_path):
-    raw = tmp_path / "raw"
-    os.makedirs(raw)
-    rng = np.random.RandomState(0)
-    with open(raw / "movies.dat", "w", encoding="ISO-8859-1") as f:
-        for m in range(1, 11):
-            f.write(f"{m}::Movie {m} (199{m % 10})::Comedy|Drama\n")
-    with open(raw / "ratings.dat", "w") as f:
-        for u in range(1, 7):
-            # each user rates 8 movies over time
-            for t, m in enumerate(rng.permutation(10)[:8] + 1):
-                f.write(f"{u}::{m}::4::{u * 1000 + t}\n")
-    with open(raw / "users.dat", "w", encoding="ISO-8859-1") as f:
-        # userId::gender::age::occupation::zip (reference ml1m.py USER_HEADERS)
-        ages = ["1", "18", "25", "35", "45", "50"]
-        occs = ["0", "10", "2", "15", "4", "20"]
-        for u in range(1, 7):
-            f.write(f"{u}::{'F' if u % 2 else 'M'}::{ages[u - 1]}::{occs[u - 1]}::12345\n")
-    return str(tmp_path)
+    return write_ml1m_raw(str(tmp_path))
 
 
 class TestML1MPipeline:
@@ -175,25 +126,7 @@ class TestML1MPipeline:
 
 @pytest.fixture
 def ml32m_root(tmp_path):
-    raw = tmp_path / "raw"
-    os.makedirs(raw)
-    import pandas as pd
-
-    movies = pd.DataFrame(
-        {
-            "movieId": range(1, 11),
-            "title": [f"Film {m} (200{m % 10})" for m in range(1, 11)],
-            "genres": ["Action|Sci-Fi"] * 10,
-        }
-    )
-    movies.to_csv(raw / "movies.csv", index=False)
-    rng = np.random.RandomState(1)
-    rows = []
-    for u in range(1, 7):
-        for t, m in enumerate(rng.permutation(10)[:8] + 1):
-            rows.append({"userId": u, "movieId": m, "rating": 3.5, "timestamp": u * 1000 + t})
-    pd.DataFrame(rows).to_csv(raw / "ratings.csv", index=False)
-    return str(tmp_path)
+    return write_ml32m_raw(str(tmp_path))
 
 
 class TestML32MPipeline:

@@ -42,9 +42,38 @@ def initialize_distributed() -> None:
         or os.environ.get("COORDINATOR_ADDRESS")
         or ("," in workers)
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        # manual launch marker: counts so that NUM_PROCESSES without a
+        # coordinator address errors loudly instead of silently running
+        # single-process
+        or os.environ.get("RQVAE_TPU_NUM_PROCESSES")
     )
     if force != "0" and (force == "1" or pod_markers):
-        jax.distributed.initialize()
+        # Manual launch (no cluster auto-detect): RQVAE_TPU_NUM_PROCESSES +
+        # RQVAE_TPU_PROCESS_ID name this process's slot explicitly — the
+        # local-coordinator equivalent of `accelerate launch --num_processes`
+        # (reference train_rqvae.py:67-70). Cross-process CPU collectives
+        # need gloo; the knob is a no-op for TPU backends.
+        nproc = os.environ.get("RQVAE_TPU_NUM_PROCESSES")
+        if nproc is not None:
+            coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+                "COORDINATOR_ADDRESS"
+            )
+            if not coord:
+                raise ValueError(
+                    "RQVAE_TPU_NUM_PROCESSES is set but no JAX_COORDINATOR_ADDRESS/"
+                    "COORDINATOR_ADDRESS names the coordinator"
+                )
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass  # older jaxlibs without the knob: TPU pods don't need it
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(os.environ["RQVAE_TPU_PROCESS_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
     _initialized = True
 
 

@@ -34,13 +34,23 @@ def save_checkpoint_orbax(
         payload["opt_state"] = opt_state
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
+    import jax
+
     meta = {
         "config": _config_to_jsonable(config),
         "step": int(step),
         "has_opt_state": opt_state is not None,
     }
-    with open(os.path.join(path, "rqvae_meta.json"), "w") as f:
-        json.dump(meta, f)
+    # Multi-host: exactly one writer for the (shared-filesystem) meta file,
+    # and a barrier so no process can race ahead to restore before the meta
+    # is committed (ckptr.save itself already coordinates the array commit).
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "rqvae_meta.json"), "w") as f:
+            json.dump(meta, f)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"rqvae_orbax_meta_commit_{step}")
     return path
 
 

@@ -96,6 +96,33 @@ class TestDistGate:
         assert self._calls(monkeypatch, {"MEGASCALE_COORDINATOR_ADDRESS": "h:8080"}) == 1
         assert self._calls(monkeypatch, {"RQVAE_TPU_DISTRIBUTED": "1"}) == 1
 
+    def test_manual_coordinator_path(self, monkeypatch):
+        # RQVAE_TPU_NUM_PROCESSES/_PROCESS_ID route explicit args into
+        # jax.distributed.initialize (the 2-process launch regime;
+        # exercised for real by test_multiprocess.py)
+        import pytest
+        import rqvae_tpu.parallel.dist as dist
+
+        calls = []
+        monkeypatch.setattr(
+            dist.jax.distributed, "initialize", lambda **kw: calls.append(kw)
+        )
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "RQVAE_TPU_DISTRIBUTED"):
+            monkeypatch.delenv(k, raising=False)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:9999")
+        monkeypatch.setenv("RQVAE_TPU_NUM_PROCESSES", "2")
+        monkeypatch.setenv("RQVAE_TPU_PROCESS_ID", "1")
+        monkeypatch.setattr(dist, "_initialized", False)
+        dist.initialize_distributed()
+        assert calls == [{"coordinator_address": "localhost:9999",
+                          "num_processes": 2, "process_id": 1}]
+        # NUM_PROCESSES without any coordinator address must raise
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+        monkeypatch.setattr(dist, "_initialized", False)
+        with pytest.raises(ValueError, match="coordinator"):
+            dist.initialize_distributed()
+
     def test_force_knob_rejects_typos(self, monkeypatch):
         # "true"/"yes" must raise, not silently fall through to auto-detect
         import pytest

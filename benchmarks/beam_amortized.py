@@ -21,11 +21,9 @@ CORPUS = 20000
 R = 50
 
 
-def main():
-    global B
-    mode = sys.argv[1] if len(sys.argv) > 1 else "auto"
-    if "--batch" in sys.argv:
-        B = int(sys.argv[sys.argv.index("--batch") + 1])
+def run_beam(mode="auto", batch_size=B, n_items=N_ITEMS, r=R, corpus=CORPUS, reps=5):
+    """Amortized constrained-beam QPS; importable for one-process sessions."""
+    B, N_ITEMS, R, CORPUS = batch_size, n_items, r, corpus  # noqa: N806
     cfg = RetrievalConfig(
         num_hierarchies=L, codebook_size=K, t5_d_model=384, t5_num_heads=6,
         t5_d_ff=1024, t5_num_layers=4, top_k_for_generation=10,
@@ -69,18 +67,31 @@ def main():
         c, _ = jax.lax.scan(body, jnp.int32(0), None, length=R)
         return c
 
-    print(f"mode={mode} backend={jax.default_backend()} R={R}")
+    print(f"mode={mode} backend={jax.default_backend()} R={R} B={B} items={N_ITEMS}")
     t0 = time.perf_counter()
     c = int(amortized(params, batch, table))
     print(f"compile+run {time.perf_counter()-t0:.1f}s (c={c})")
     times = []
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.perf_counter()
         c = int(amortized(params, batch, table))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"best-of-5: {best/R*1000:.3f} ms/batch => {B*R/best:.0f} QPS device compute; "
+    print(f"best-of-{reps}: {best/R*1000:.3f} ms/batch => {B*R/best:.0f} QPS device compute; "
           f"all: {[f'{t*1000:.0f}' for t in times]}")
+    return {"mode": mode, "batch": B, "items": N_ITEMS, "qps": B * R / best,
+            "ms_per_batch": best / R * 1000}
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    batch = B
+    n_items = N_ITEMS
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--items" in sys.argv:
+        n_items = int(sys.argv[sys.argv.index("--items") + 1])
+    run_beam(mode, batch, n_items)
 
 
 if __name__ == "__main__":

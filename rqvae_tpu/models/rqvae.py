@@ -253,8 +253,14 @@ def kmeans_init_codebooks(
     Replaces the reference's lazy first-forward mutation (quantize.py:96-108,
     triggered on a <=20k-item batch at train_rqvae.py:178-183). Each level is
     initialized from the residuals produced by hard (eval-path) quantization
-    of the previous levels; for STE mode this matches the reference exactly
-    (the STE training forward value equals the hard lookup).
+    of the previous levels. This matches the reference's training-forward
+    residuals EXACTLY for STE (training value == hard lookup) and to
+    numerical noise (~1e-6 normalization epsilons) for ROTATION_TRICK — the
+    rotation transform maps x onto the selected embedding in value and only
+    reroutes the gradient (tests/test_quantize_variants.py::
+    TestRotationKmeansInitParity). Only GUMBEL_SOFTMAX deviates: its
+    training value is a soft codebook mixture, so the reference's l>0 init
+    residuals differ from hard residuals at high temperature.
 
     Returns a new params pytree with `codebooks` replaced.
     """

@@ -82,7 +82,7 @@ def _scores(q, k, bias, mask, causal: bool):
 def _fwd_kernel(causal, dropout_rate, seed_ref, q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
     h, b = pl.program_id(0), pl.program_id(1)
     q, k, v = q_ref[:, 0], k_ref[:, 0], v_ref[:, 0]  # [Bt, L, dk]
-    p = jax.nn.softmax(_scores(q, k, bias_ref[0], mask_ref[:], causal), axis=-1)
+    p = jax.nn.softmax(_scores(q, k, bias_ref[0], mask_ref[:, 0], causal), axis=-1)
     if dropout_rate > 0.0:
         heads, lq, lk = pl.num_programs(0), p.shape[1], p.shape[2]
         keep = _dropout_keep(p.shape, dropout_rate, seed_ref[0], h, b * p.shape[0], heads, lq, lk)
@@ -103,7 +103,7 @@ def _bwd_kernel(
     do = do_ref[:, 0].astype(jnp.float32)  # [Bt, Lq, dk]
 
     # exact softmax recompute (identical masking path to the forward)
-    p = jax.nn.softmax(_scores(q, k, bias_ref[0], mask_ref[:], causal), axis=-1)
+    p = jax.nn.softmax(_scores(q, k, bias_ref[0], mask_ref[:, 0], causal), axis=-1)
     if dropout_rate > 0.0:
         heads, lq, lk = pl.num_programs(0), p.shape[1], p.shape[2]
         # same (seed, global coordinate) => identical bits to the forward
@@ -159,7 +159,12 @@ def _specs(batch, heads, lq, lk, dk, block_b):
     qspec = pl.BlockSpec((block_b, 1, lq, dk), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((block_b, 1, lk, dk), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, lq, lk), lambda h, b: (h, 0, 0), memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((block_b, lk), lambda h, b: (b, 0), memory_space=pltpu.VMEM)
+    # mask travels as [B, 1, Lk]: with the batch block OUTSIDE the last two
+    # dims, Mosaic's (8, 128)-divisibility rule on block shapes is satisfied
+    # for ANY block_b — a 2-D [B, Lk] spec with block (2, lk) fails to lower
+    # at the long-sequence geometry (block_b floors at 2 there; found on
+    # real-chip compile, invisible to interpret mode)
+    mask_spec = pl.BlockSpec((block_b, 1, lk), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return grid, qspec, kspec, bias_spec, mask_spec, seed_spec
 
@@ -289,7 +294,7 @@ def t5_attention(
         )
     if block_b is None:
         block_b = _auto_block_b(batch, lq, lk, dk)
-    mask = mask.astype(jnp.int32)
+    mask = mask.astype(jnp.int32)[:, None, :]  # [B, 1, Lk]; see _specs
     seed = seed.reshape(1).astype(jnp.int32)
     return _fused_attention(
         causal, float(dropout_rate), block_b_fwd, block_b, interpret,

@@ -20,7 +20,7 @@ import subprocess
 import sys
 
 import numpy as np
-from rawfixtures import write_amazon_raw, write_ml32m_raw
+from rawfixtures import write_amazon_raw, write_ml1m_raw, write_ml32m_raw
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -62,6 +62,15 @@ def test_amazon_p5_raw_to_metrics(tmp_path):
         ["s1.iterations=12", "s2.iterations=6", "both.batch_size=32"],
     )
     assert res["stage1_config"].endswith("rqvae_amazon.gin")
+
+
+def test_ml1m_dat_raw_to_metrics(tmp_path):
+    # third raw format (::-delimited .dat) + the user-demographics path
+    res = _run_parity(
+        tmp_path, "ml1m", write_ml1m_raw,
+        ["s1.iterations=12", "s2.iterations=4", "both.batch_size=8"],
+    )
+    assert res["stage2_config"].endswith("decoder_ml1m.gin")
 
 
 def test_ml32m_csv_raw_to_metrics(tmp_path):

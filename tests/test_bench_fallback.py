@@ -16,9 +16,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.e2e
 def test_wedge_fallback_runs_on_cpu_and_emits_json():
     env = dict(os.environ)
     env["RQVAE_TPU_BENCH_FORCE_WEDGE"] = "1"

@@ -57,6 +57,7 @@ def _launch(nprocs, port, ckpt_dir):
 
 
 @pytest.mark.filterwarnings("ignore")
+@pytest.mark.e2e
 def test_two_processes_match_single_process(tmp_path):
     golden = _launch(1, _free_port(), str(tmp_path / "ck1"))[0]
     pair = _launch(2, _free_port(), str(tmp_path / "ck2"))

@@ -20,6 +20,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 from rawfixtures import write_amazon_raw, write_ml1m_raw, write_ml32m_raw
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -56,6 +57,7 @@ def _run_parity(tmp_path, dataset, writer, extra_sets):
     return result
 
 
+@pytest.mark.e2e
 def test_amazon_p5_raw_to_metrics(tmp_path):
     res = _run_parity(
         tmp_path, "amazon", write_amazon_raw,
@@ -64,6 +66,7 @@ def test_amazon_p5_raw_to_metrics(tmp_path):
     assert res["stage1_config"].endswith("rqvae_amazon.gin")
 
 
+@pytest.mark.e2e
 def test_ml1m_dat_raw_to_metrics(tmp_path):
     # third raw format (::-delimited .dat) + the user-demographics path
     res = _run_parity(
@@ -73,6 +76,7 @@ def test_ml1m_dat_raw_to_metrics(tmp_path):
     assert res["stage2_config"].endswith("decoder_ml1m.gin")
 
 
+@pytest.mark.e2e
 def test_ml32m_csv_raw_to_metrics(tmp_path):
     # flagship long-sequence geometry (200-item windows -> ~800 tokens)
     res = _run_parity(

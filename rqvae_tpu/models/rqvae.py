@@ -22,7 +22,7 @@ first-forward mutation (reference quantize.py:107-108).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -247,6 +247,7 @@ def kmeans_init_codebooks(
     params,
     x_sample: jax.Array,
     max_iters: int = 100,
+    gumbel_temperature: Optional[float] = None,
 ) -> dict:
     """Explicit K-means warm start of all codebook levels.
 
@@ -258,12 +259,19 @@ def kmeans_init_codebooks(
     numerical noise (~1e-6 normalization epsilons) for ROTATION_TRICK — the
     rotation transform maps x onto the selected embedding in value and only
     reroutes the gradient (tests/test_quantize_variants.py::
-    TestRotationKmeansInitParity). Only GUMBEL_SOFTMAX deviates: its
-    training value is a soft codebook mixture, so the reference's l>0 init
-    residuals differ from hard residuals at high temperature.
+    TestRotationKmeansInitParity). For GUMBEL_SOFTMAX the reference's
+    training value is a SOFT codebook mixture, so its l>0 init residuals
+    differ from hard residuals at high temperature: pass
+    `gumbel_temperature` (the scheduler's t at iteration 0, reference
+    train_rqvae.py:163,178) to reproduce that regime — residuals then
+    subtract the gumbel-softmax mixture exactly as the reference's
+    mid-forward init sees them (stochastic parity; the gumbel draws come
+    from `key`, not torch's RNG).
 
     Returns a new params pytree with `codebooks` replaced.
     """
+    from rqvae_tpu.ops.gumbel import gumbel_softmax_sample
+
     cfg = model.config
 
     res = model.apply(params, x_sample, training=False, method=RqVae.encode)
@@ -272,9 +280,18 @@ def kmeans_init_codebooks(
         out = kmeans(jax.random.fold_in(key, level), res, k=cfg.codebook_size, max_iters=max_iters)
         centroids = out.centroids
         codebooks.append(centroids)
-        # Hard-assign with the effective codebook the model would use.
-        # For the common configs (no sim_vq) effective == raw centroids.
-        emb = centroids[out.assignment]
+        if gumbel_temperature is not None and cfg.codebook_mode == QuantizeForwardMode.GUMBEL_SOFTMAX:
+            # reference regime: the next level sees x - soft_mixture
+            from rqvae_tpu.models.quantize import codebook_distances
+
+            dist = codebook_distances(res, centroids, cfg.codebook_distance)
+            gkey = jax.random.fold_in(jax.random.fold_in(key, 7919), level)
+            weights = gumbel_softmax_sample(gkey, -dist, gumbel_temperature)
+            emb = weights @ centroids
+        else:
+            # Hard-assign with the effective codebook the model would use.
+            # For the common configs (no sim_vq) effective == raw centroids.
+            emb = centroids[out.assignment]
         res = res - emb
 
     new_cb = jnp.stack(codebooks, axis=0).astype(params["params"]["codebooks"].dtype)

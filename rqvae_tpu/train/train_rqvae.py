@@ -157,7 +157,15 @@ def train(
         if use_kmeans_init:
             sample = train_items.head(kmeans_init_samples)
             params = kmeans_init_codebooks(
-                jax.random.fold_in(root_key, 2), model, params, jnp.asarray(sample)
+                jax.random.fold_in(root_key, 2), model, params, jnp.asarray(sample),
+                # GUMBEL configs: level l>0 init sees soft-mixture residuals
+                # at the iteration-0 temperature, as the reference's
+                # mid-training-forward init does (train_rqvae.py:163,178)
+                gumbel_temperature=(
+                    gumbel_temperature
+                    if vae_codebook_mode == QuantizeForwardMode.GUMBEL_SOFTMAX
+                    else None
+                ),
             )
         state = TrainState.create(params, tx)
 

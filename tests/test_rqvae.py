@@ -218,6 +218,36 @@ class TestRqVae:
         # kmeans init should cut the quantization loss massively vs U(0,1) init
         assert float(out1.quantize_loss.mean()) < 0.5 * float(out0.quantize_loss.mean())
 
+    def test_kmeans_init_gumbel_soft_residuals(self):
+        # GUMBEL configs can initialize l>0 from soft-mixture residuals
+        # (the reference's mid-training-forward init regime); level 0 is
+        # identical either way, and at t -> 0 soft converges to hard
+        cfg = RqVaeConfig(
+            input_dim=24, embed_dim=8, hidden_dims=(16,), codebook_size=8,
+            n_layers=3, n_cat_feats=0,
+            codebook_mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
+        )
+        model, params, x = _init(cfg, seed=3, batch=256)
+        hard = kmeans_init_codebooks(jax.random.PRNGKey(0), model, params, x)
+        soft = kmeans_init_codebooks(
+            jax.random.PRNGKey(0), model, params, x, gumbel_temperature=0.2
+        )
+        cb_h = np.asarray(hard["params"]["codebooks"])
+        cb_s = np.asarray(soft["params"]["codebooks"])
+        np.testing.assert_array_equal(cb_h[0], cb_s[0])  # level 0 untouched
+        assert np.abs(cb_h[1:] - cb_s[1:]).max() > 1e-3  # t=0.2 mixes
+        assert np.isfinite(cb_s).all()
+        # non-gumbel modes ignore the knob
+        cfg2 = RqVaeConfig(**{**cfg.__dict__, "codebook_mode": QuantizeForwardMode.STE})
+        model2, params2, _ = _init(cfg2, seed=3, batch=256)
+        a = kmeans_init_codebooks(jax.random.PRNGKey(0), model2, params2, x)
+        b = kmeans_init_codebooks(
+            jax.random.PRNGKey(0), model2, params2, x, gumbel_temperature=0.2
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a["params"]["codebooks"]), np.asarray(b["params"]["codebooks"])
+        )
+
     @pytest.mark.parametrize(
         "mode",
         [

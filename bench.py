@@ -337,7 +337,7 @@ def measure_torch_beam_baseline() -> dict:
     return {"queries_per_sec": BEAM_B / dt, "seconds_per_batch": dt}
 
 
-def _device_healthy(timeout_s: int = 180, attempts: int = 4) -> bool:
+def _device_healthy(timeout_s: int = 180, attempts: int = 6) -> bool:
     """Probe the default JAX device in a subprocess (the axon TPU tunnel can
     wedge in a way that hangs any in-process call forever). Retries: the
     tunnel refuses new sessions for a few minutes while it tears down a

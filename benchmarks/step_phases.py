@@ -30,13 +30,18 @@ from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel, RetrievalCo
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "on"
+    bsz, n_items = B, N_ITEMS
+    if "--batch" in sys.argv:
+        bsz = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--items" in sys.argv:
+        n_items = int(sys.argv[sys.argv.index("--items") + 1])
     cfg = RetrievalConfig(
         num_hierarchies=L, codebook_size=K, t5_d_model=384, t5_num_heads=6,
         t5_d_ff=1024, t5_num_layers=4, t5_dropout=0.1, top_k_for_generation=10,
         t5_dtype="bfloat16", t5_fused_attention=mode,
     )
     model = EncoderDecoderRetrievalModel(cfg)
-    batch = make_batch(B, N_ITEMS)
+    batch = make_batch(bsz, n_items)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, batch, training=True
     )
@@ -66,7 +71,7 @@ def main():
         new_p = optax.apply_updates(p, upd)
         return sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree_util.tree_leaves(new_p))
 
-    print(f"mode={mode} backend={jax.default_backend()} batch={B}")
+    print(f"mode={mode} backend={jax.default_backend()} batch={bsz} items={n_items}")
     for name, prog in (("fwd loss", fwd), ("fwd+bwd grads", grads), ("full step", full)):
         @jax.jit
         def amortized(p, r, prog=prog):
@@ -77,7 +82,7 @@ def main():
         per = _differential_time(
             lambda r: float(amortized(params, jnp.int32(r))), r1=5, r2=55, reps=4
         )
-        print(f"{name:14s}: {per * 1e3:7.2f} ms/iter ({B / per / 1e3:.1f}k ex/s)")
+        print(f"{name:14s}: {per * 1e3:7.2f} ms/iter ({bsz / per / 1e3:.1f}k ex/s)")
 
 
 if __name__ == "__main__":

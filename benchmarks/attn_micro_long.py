@@ -33,8 +33,13 @@ def main():
     mask = jnp.ones((B, L), jnp.int32)
     seed = jnp.zeros((1,), jnp.int32)
 
+    # both arms dropout-free so the comparison apportions matmul/softmax
+    # cost symmetrically (pass --drop to measure the fused kernel's
+    # in-register dropout increment on its own)
+    rate = 0.1 if "--drop" in sys.argv else 0.0
+
     def fused(qq, kk, vv):
-        return t5_attention(qq, kk, vv, bias, mask, seed, dropout_rate=0.1, block_b=bb)
+        return t5_attention(qq, kk, vv, bias, mask, seed, dropout_rate=rate, block_b=bb)
 
     def xla(qq, kk, vv):
         return attention_reference(qq, kk, vv, bias, mask)

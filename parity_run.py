@@ -107,9 +107,14 @@ def main() -> None:
         it1 = min(cfg1.get("iterations", 2000), 2000)
         ov1.update(iterations=it1, eval_every=it1, save_model_every=it1)
     ov1.update(set1)
-    if "iterations" in set1:  # keep cadences consistent with a clamped budget
+    if "iterations" in set1:
+        # keep cadences consistent with a clamped budget — but never clobber
+        # a cadence the user ALSO set explicitly
         ov1.setdefault("eval_every", set1["iterations"])
-        ov1["save_model_every"] = min(ov1.get("save_model_every", set1["iterations"]), set1["iterations"])
+        if "save_model_every" not in set1:
+            ov1["save_model_every"] = min(
+                ov1.get("save_model_every", set1["iterations"]), set1["iterations"]
+            )
     t0 = time.time()
     s1 = apply_config(train_rqvae, cfg1_path, **ov1)
     result["stage1"] = {k: v for k, v in s1.items() if isinstance(v, (int, float, str)) or v is None}
@@ -135,10 +140,13 @@ def main() -> None:
             save_model_every=it, warmup_steps=min(cfg2.get("warmup_steps", 10000), 100),
         )
     ov2.update(set2)
-    if "iterations" in set2:  # keep cadences consistent with a clamped budget
+    if "iterations" in set2:
+        # keep cadences consistent with a clamped budget — but never clobber
+        # a cadence the user ALSO set explicitly
         it = set2["iterations"]
         for k in ("partial_eval_every", "full_eval_every", "save_model_every"):
-            ov2[k] = min(ov2.get(k, it), it)
+            if k not in set2:
+                ov2[k] = min(ov2.get(k, it), it)
         ov2.setdefault("warmup_steps", min(cfg2.get("warmup_steps", 10000), it))
     t0 = time.time()
     s2 = apply_config(train_decoder, cfg2_path, **ov2)

@@ -36,6 +36,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from rqvae_tpu.ops.embedding import embedding_lookup
+
 NEG_INF = -1e9
 
 
@@ -200,7 +202,12 @@ class T5Attention(nn.Module):
             bias_table = self.param(
                 "rel_bias", _normal(d**-0.5), (cfg.rel_buckets, cfg.num_heads)
             )
-            position_bias = bias_table[buckets].transpose(2, 0, 1)[None]  # [1,H,Lq,Lk]
+            # matmul-backward lookup (ops/embedding.py): the plain-index
+            # gradient is a scatter-add over Lq*Lk indices into the tiny
+            # [rel_buckets, H] table — at the 800-token geometry that one
+            # scatter (646k keys) dominated the backward (step_phases r3:
+            # non-attention bwd was 4x its fwd before this)
+            position_bias = embedding_lookup(bias_table, buckets).transpose(2, 0, 1)[None]  # [1,H,Lq,Lk]
 
         if self._use_fused(Lq, Lk, training):
             from rqvae_tpu.ops.pallas.attention import t5_attention

@@ -36,9 +36,13 @@ def _bwd(res, g):
     vocab = carrier.shape[0]
     flat_ids = ids.reshape(-1)
     flat_g = g.reshape(-1, g.shape[-1])
-    onehot = jax.nn.one_hot(flat_ids, vocab, dtype=jnp.bfloat16)
+    # match the incoming gradient's precision: bf16 grads take the fast
+    # bf16 MXU path; f32 grads (f32 mode, or f32 bias tensors under bf16
+    # compute) stay f32 so this remains a true scatter-add equivalent
+    dt = jnp.bfloat16 if g.dtype == jnp.bfloat16 else jnp.float32
+    onehot = jax.nn.one_hot(flat_ids, vocab, dtype=dt)
     grad_table = jnp.einsum(
-        "nv,nd->vd", onehot, flat_g.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        "nv,nd->vd", onehot, flat_g.astype(dt), preferred_element_type=jnp.float32
     ).astype(carrier.dtype)
     return grad_table, None
 

@@ -67,10 +67,16 @@ def initialize_distributed() -> None:
                 jax.config.update("jax_cpu_collectives_implementation", "gloo")
             except Exception:
                 pass  # older jaxlibs without the knob: TPU pods don't need it
+            pid = os.environ.get("RQVAE_TPU_PROCESS_ID")
+            if pid is None:
+                raise ValueError(
+                    "RQVAE_TPU_NUM_PROCESSES is set but RQVAE_TPU_PROCESS_ID is "
+                    "not; each process must name its slot (0..N-1)"
+                )
             jax.distributed.initialize(
                 coordinator_address=coord,
                 num_processes=int(nproc),
-                process_id=int(os.environ["RQVAE_TPU_PROCESS_ID"]),
+                process_id=int(pid),
             )
         else:
             jax.distributed.initialize()

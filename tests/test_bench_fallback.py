@@ -26,9 +26,13 @@ def test_wedge_fallback_runs_on_cpu_and_emits_json():
     env = dict(os.environ)
     env["RQVAE_TPU_BENCH_FORCE_WEDGE"] = "1"
     env["RQVAE_TPU_BENCH_QUICK"] = "1"
-    # simulate the driver's real invocation env (TPU-targeting)
-    env.pop("JAX_PLATFORMS", None)
+    # simulate the driver's real invocation env (TPU-targeting platform
+    # selection), but WITHOUT the axon plugin trigger: sitecustomize's
+    # register() would hang this subprocess at import if another process
+    # holds the tunnel (CLAUDE.md). The fallback under test re-execs with
+    # JAX_PLATFORMS=cpu and asserts the cpu backend either way.
     env["JAX_PLATFORMS"] = "axon"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, timeout=560, cwd=REPO, env=env,

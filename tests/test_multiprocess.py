@@ -48,12 +48,27 @@ def _launch(nprocs, port, ckpt_dir):
         )
         for pid in range(nprocs)
     ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=280)
-        assert p.returncode == 0, err[-3000:]
-        outs.append(json.loads(out.strip().splitlines()[-1]))
-    return outs
+    # gather ALL workers before asserting: if one hangs or dies, kill the
+    # rest (a peer blocked in jax.distributed.initialize would otherwise
+    # leak) and surface every worker's stderr, not just the first's
+    results = []
+    try:
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=280)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, err = p.communicate()
+                err = f"[TIMED OUT]\n{err}"
+            results.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert all(rc == 0 for rc, _, _ in results), "\n".join(
+        f"--- worker {i} rc={rc} ---\n{err[-2000:]}" for i, (rc, _, err) in enumerate(results)
+    )
+    return [json.loads(out.strip().splitlines()[-1]) for _, out, _ in results]
 
 
 @pytest.mark.filterwarnings("ignore")

@@ -148,15 +148,18 @@ class T5Attention(nn.Module):
             return True
         if mode == "off":
             return False
-        # the kernel's win is the BACKWARD (no score tensors / dropout masks
-        # saved to HBM: train step 53.6 -> 38.1 ms); its forward alone is
-        # slower than XLA's (B=640 fwd: 11.0 -> 14.2 ms; B=64: 1.06 -> 1.62,
-        # benchmarks/enc_micro.py), so eval/serving stays on the XLA path
-        if not training:
-            return False
         # size gate: the <=4-token decoder self/cross attention is cheaper
         # unfused than padded to kernel tiles
         if lq < 16 or lk < 16:
+            return False
+        # Inference: at SHORT rows the kernel's forward loses to XLA
+        # (B=64 L=84 fwd: 1.06 -> 1.62 ms, benchmarks/enc_micro.py), but at
+        # long rows the whole-row-in-VMEM design wins big (L=804 fwd:
+        # 4.61 -> 1.32 ms, benchmarks/attn_micro_long.py) because XLA
+        # materializes the [B,H,L,L] f32 scores in HBM. Serve fused only
+        # where measured to win; training always benefits (the backward is
+        # the kernel's main win: 53.6 -> 38.1 ms at the flagship step).
+        if not training and min(lq, lk) < 512:
             return False
         if mode == "on":
             # forced: caller guarantees per-shard execution (e.g. inside a

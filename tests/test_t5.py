@@ -167,3 +167,33 @@ class TestRematAndBeams:
         stack_r = T5Stack(replace(CFG, remat=True), is_decoder=True)
         folded_r = stack_r.apply(params, xk, enc_out=enc, enc_mask=enc_mask, beams=k)
         np.testing.assert_allclose(np.asarray(folded_r), np.asarray(folded), atol=1e-6)
+
+
+class TestFusedGate:
+    """_use_fused policy (models/t5.py): training always fused on 1-device
+    TPU above the tiny-size floor; inference fused ONLY at long rows
+    (measured crossover between L=256 and L=512, RESULTS.md r3)."""
+
+    def _gate(self, monkeypatch, mode, lq, lk, training, backend="tpu", ndev=1):
+        from rqvae_tpu.models.t5 import T5Attention, T5StackConfig
+        import rqvae_tpu.models.t5 as t5mod
+
+        monkeypatch.setattr(t5mod.jax, "default_backend", lambda: backend)
+        monkeypatch.setattr(t5mod.jax, "device_count", lambda: ndev)
+        attn = T5Attention(T5StackConfig(fused_attention=mode))
+        return attn._use_fused(lq, lk, training)
+
+    def test_training_gate(self, monkeypatch):
+        assert self._gate(monkeypatch, "auto", 84, 84, True)
+        assert self._gate(monkeypatch, "auto", 804, 804, True)
+        assert not self._gate(monkeypatch, "auto", 4, 84, True)  # decoder attn
+        assert not self._gate(monkeypatch, "auto", 84, 84, True, backend="cpu")
+        assert not self._gate(monkeypatch, "auto", 84, 84, True, ndev=8)  # GSPMD
+        assert self._gate(monkeypatch, "on", 84, 84, True, ndev=8)  # shard_map promotes
+
+    def test_inference_long_row_gate(self, monkeypatch):
+        assert not self._gate(monkeypatch, "auto", 84, 84, False)  # XLA wins short
+        assert not self._gate(monkeypatch, "auto", 256, 256, False)
+        assert self._gate(monkeypatch, "auto", 512, 512, False)
+        assert self._gate(monkeypatch, "auto", 804, 804, False)  # 2.55x beam win
+        assert not self._gate(monkeypatch, "off", 804, 804, False)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from rqvae_tpu.data.schemas import TokenizedSeqBatch
 from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel, RetrievalConfig
-from rqvae_tpu.serving.beam import build_prefix_table, extend_keys, is_valid_prefix
+from rqvae_tpu.serving.beam import build_prefix_table, valid_children
 
 K, L, D = 256, 3, 4
 CORPUS = 20000
@@ -116,10 +116,9 @@ def run_phases(batch_size=64, n_items=20, mode="auto"):
         def body(_, c):
             logits = ((feat + c.astype(feat.dtype)) @ heads[1]).reshape(B, TOPK, K)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            cand = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), logp.shape)
-            keys = extend_keys(table, parent_keys[..., None], cand)
-            valid = is_valid_prefix(table, 1, keys)
-            scores = jnp.where(valid, logp, -1e9)
+            # production path: row-gather validity (serving/beam.py)
+            child_ok = valid_children(table, 1, parent_keys)[..., :K]
+            scores = jnp.where(child_ok, logp, -1e9)
             top, idx = jax.lax.top_k(scores.reshape(B, TOPK * K), TOPK)
             return carry_of(top) + carry_of(idx)
         return jax.lax.fori_loop(0, r, body, jnp.int32(0))

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from rqvae_tpu.data.schemas import TokenizedSeqBatch
 from rqvae_tpu.models.t5 import T5Stack, T5StackConfig
-from rqvae_tpu.serving.beam import PrefixTable, extend_keys, is_valid_prefix
+from rqvae_tpu.serving.beam import PrefixTable, extend_keys, valid_children
 from rqvae_tpu.models.mlp import stacked_torch_linear_init
 from rqvae_tpu.ops.embedding import embedding_lookup
 from rqvae_tpu.ops.gumbel import sample_without_replacement
@@ -250,7 +250,14 @@ class EncoderDecoderRetrievalModel(nn.Module):
 
         def candidate_scores(logp, parent_keys, h, rng_h):
             """Return (scores [.., n_cand], cand_ids [.., n_cand]) with
-            invalid prefixes masked to -inf."""
+            invalid prefixes masked to -inf.
+
+            Validity is fetched for ALL K children of each parent at once
+            (serving/beam.py::valid_children row gather): the children of
+            one packed parent key are one contiguous bitmap row, and a
+            B*k-row gather is ~40x faster on TPU than B*k*K scattered
+            single-bool gathers (benchmarks/score_phases.py)."""
+            child_ok = valid_children(prefix_table, h, parent_keys)[..., :K]
             if cfg.sample_candidates:
                 # at least k candidates so the level-0 top-k over [B, n_cands]
                 # is well-defined (the reference's working regime is
@@ -262,13 +269,10 @@ class EncoderDecoderRetrievalModel(nn.Module):
                 # no beam slots are wasted on duplicates
                 samples = sample_without_replacement(rng_h, logp, n_cands)
                 samp_logp = jnp.take_along_axis(logp, samples, axis=-1)
-                keys = extend_keys(prefix_table, parent_keys[..., None], samples)
-                valid = is_valid_prefix(prefix_table, h, keys)
+                valid = jnp.take_along_axis(child_ok, samples, axis=-1)
                 return jnp.where(valid, samp_logp, NEG_INF), samples
             cand = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), logp.shape)
-            keys = extend_keys(prefix_table, parent_keys[..., None], cand)
-            valid = is_valid_prefix(prefix_table, h, keys)
-            return jnp.where(valid, logp, NEG_INF), cand
+            return jnp.where(child_ok, logp, NEG_INF), cand
 
         # --- level 0: all beams share the empty prefix ---
         dec = self.decoder_forward(None, enc, enc_mask)[:, -1]  # [B, d]

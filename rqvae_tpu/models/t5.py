@@ -188,6 +188,14 @@ class T5Attention(nn.Module):
         Lk = kv_in.shape[1]
 
         dt = cfg.compute_dtype
+        # q/k/v stay THREE separate GEMMs on purpose: fusing them into one
+        # [d, 3*inner] wide GEMM wins 1.135x on the projection GEMMs in
+        # isolation (benchmarks/gemm_fusion_micro.py, 40.9 -> 46.4% MFU)
+        # but LOSES end-to-end — the forward jnp.split and its backward
+        # concat materialize ~250MB/step of extra HBM copies at the
+        # flagship geometry, regressing the stage-2 step 38.0 -> 40.6 ms
+        # (RESULTS.md round 3). XLA does not fuse the slices into the
+        # downstream head reshape/transpose.
         q = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal((d * cfg.d_kv) ** -0.5), name="q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5), name="k")(kv_in)
         v = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5), name="v")(kv_in)

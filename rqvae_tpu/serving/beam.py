@@ -1,13 +1,22 @@
-"""Corpus prefix trie (sorted packed-key tables) for constrained decoding.
+"""Corpus prefix trie (row-bitmap / sorted packed-key tables) for
+constrained decoding.
 
 Reference parity: /root/reference/modules/model.py:169-182
 (_check_valid_prefix) masks beam candidates whose semantic-ID prefix does
 not exist in the corpus, via an exhaustive [N_corpus, B*k*n] equality
 broadcast per level — O(N * candidates). Here each corpus tuple prefix is
 packed into an integer key (level 0 in the most-significant bits, see
-ops/dedup.pack_sem_id_tuples) and sorted once at index-build time; validity
-is then a binary search (jnp.searchsorted) — O(log N) per candidate and
-fully vectorized on TPU.
+ops/dedup.pack_sem_id_tuples) and looked up in O(1)/O(log N).
+
+TPU layout note: dense levels store the bitmap 2-D as [K^h, 2^bits] —
+parent prefix key indexes the ROW, child id the column — because beam
+search always asks "which children of these B*k parents are valid?" and
+the children of one parent are one contiguous row. A row gather of B*k
+rows is ~40x faster on TPU than B*k*K scattered single-bool gathers from
+the flat bitmap (benchmarks/score_phases.py: one score stage 3.0 -> 0.08
+ms at B=64, k=10, K=256, level 2): scattered 1-element gathers from a
+16MB HBM table lower to serialized transactions, while a trailing-
+contiguous row gather rides the fast embedding-lookup path.
 """
 
 from __future__ import annotations
@@ -24,12 +33,12 @@ class PrefixTable(NamedTuple):
     """Per-level prefix validity tables; a pytree, so it can be closed
     over / passed through jit.
 
-    Each level is EITHER a dense bool bitmap indexed by packed prefix key
-    (one gather per lookup; used when K^(h+1) <= dense_limit) OR a sorted
-    int key array (binary search; O(log N) gather rounds). The two are
-    distinguished by dtype, keeping the pytree structure uniform."""
+    Each level is EITHER a dense bool row-bitmap [K^h, 2^bits] indexed by
+    (parent key, child id) (used when K^(h+1) <= dense_limit) OR a sorted
+    int key array of packed length-(h+1) prefixes (binary search). The two
+    are distinguished by dtype, keeping the pytree structure uniform."""
 
-    level_keys: Tuple[jax.Array, ...]  # bool [K^(h+1)] bitmap or sorted int [N]
+    level_keys: Tuple[jax.Array, ...]  # bool [K^h, 2^bits] or sorted int [N]
     bits: int  # bits per level in the packing
 
 
@@ -41,24 +50,46 @@ def build_prefix_table(
     """corpus_ids: [N, L] (dedup column already stripped)."""
     L = corpus_ids.shape[1]
     bits = id_bits(codebook_size)
+    W = 1 << bits
     tables = []
     for h in range(L):
         keys = pack_sem_id_tuples(corpus_ids[:, : h + 1], codebook_size)
         size = 1 << (bits * (h + 1))
         if size <= dense_limit:
-            tables.append(jnp.zeros((size,), bool).at[keys].set(True))
+            flat = jnp.zeros((size,), bool).at[keys].set(True)
+            tables.append(flat.reshape(size // W, W))
         else:
             tables.append(jnp.sort(keys))
     return PrefixTable(level_keys=tuple(tables), bits=bits)
 
 
 def is_valid_prefix(table: PrefixTable, level: int, keys: jax.Array) -> jax.Array:
-    """keys: packed prefixes of length level+1, any shape -> bool mask."""
+    """keys: packed prefixes of length level+1, any shape -> bool mask.
+
+    Scattered per-key lookup; prefer valid_children() in beam search (the
+    row-gather form) — see the module docstring's TPU layout note."""
     t = table.level_keys[level]
     if t.dtype == jnp.bool_:
-        return t[keys]
+        return t[keys >> table.bits, keys & ((1 << table.bits) - 1)]
     idx = jnp.searchsorted(t, keys, side="left")
     idx = jnp.clip(idx, 0, t.shape[0] - 1)
+    return t[idx] == keys
+
+
+def valid_children(table: PrefixTable, level: int, parent_keys: jax.Array) -> jax.Array:
+    """Validity of ALL 2^bits child extensions of each parent prefix.
+
+    parent_keys: packed length-`level` prefixes, any shape [..] (zeros for
+    level 0, where every beam shares the empty prefix). Returns bool
+    [.., 2^bits]; columns >= codebook_size (non-power-of-two K) are never
+    set by build_prefix_table, so they read False."""
+    t = table.level_keys[level]
+    if t.dtype == jnp.bool_:
+        return t[parent_keys]
+    W = 1 << table.bits
+    child = jnp.arange(W, dtype=t.dtype)
+    keys = (parent_keys[..., None].astype(t.dtype) << table.bits) | child
+    idx = jnp.clip(jnp.searchsorted(t, keys, side="left"), 0, t.shape[0] - 1)
     return t[idx] == keys
 
 

@@ -181,6 +181,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
         enc_mask: jax.Array,
         training: bool = False,
         beams: int = 1,  # beam search: decoder rows per encoder row
+        cross_kv: Optional[tuple] = None,  # decoder.cross_kv(enc_out) cache
     ) -> jax.Array:
         B = enc_out.shape[0] * beams
         bos = jnp.broadcast_to(self.bos_token, (B, 1, self.config.t5_d_model))
@@ -192,7 +193,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
             embs = bos
         return self.decoder(
             embs, self_mask=None, enc_out=enc_out, enc_mask=enc_mask, training=training,
-            beams=beams,
+            beams=beams, cross_kv=cross_kv,
         )  # [B*beams, T+1, d]
 
     # ---------- training ----------
@@ -242,7 +243,15 @@ class EncoderDecoderRetrievalModel(nn.Module):
         # enc_out is NOT replicated across beams: the decoder's beam-folded
         # cross-attention (models/t5.py) attends [B, k*T] queries against
         # the shared [B, Le] keys/values (reference repeat_interleaves the
-        # encoder output k-fold instead, model.py:321-322)
+        # encoder output k-fold instead, model.py:321-322).
+        # Cross-attention K/V are level-invariant, so project them ONCE here
+        # and reuse across all L decode stages (the reference re-projects
+        # enc_out inside every decoder call). Measured-neutral inside this
+        # single-jit program — XLA CSE already dedupes the identical K/V
+        # GEMMs (RESULTS.md round 3) — but the cache makes the sharing an
+        # explicit guarantee and survives any future split of the decode
+        # stages into separate programs.
+        cross_kv = self.decoder.cross_kv(enc)
 
         def head_logprobs(dec_last: jax.Array, h: int) -> jax.Array:
             logits = dec_last @ self.heads[h]
@@ -275,7 +284,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
             return jnp.where(child_ok, logp, NEG_INF), cand
 
         # --- level 0: all beams share the empty prefix ---
-        dec = self.decoder_forward(None, enc, enc_mask)[:, -1]  # [B, d]
+        dec = self.decoder_forward(None, enc, enc_mask, cross_kv=cross_kv)[:, -1]  # [B, d]
         logp0 = head_logprobs(dec, 0)  # [B, K]
         # packed-key dtype (NOT bool — dense levels store bitmaps; a dense
         # level-0 implies small keys, so int32 is always safe there)
@@ -292,7 +301,9 @@ class EncoderDecoderRetrievalModel(nn.Module):
         # --- levels 1..L-1 ---
         for h in range(1, L):
             flat_prefix = beam_ids.reshape(B * k, h)
-            dec = self.decoder_forward(flat_prefix, enc, enc_mask, beams=k)[:, -1]  # [B*k, d]
+            dec = self.decoder_forward(
+                flat_prefix, enc, enc_mask, beams=k, cross_kv=cross_kv
+            )[:, -1]  # [B*k, d]
             logp = head_logprobs(dec, h).reshape(B, k, K)
             rh = jax.random.fold_in(rng, h) if rng is not None else None
             scores, cand = candidate_scores(logp, beam_keys, h, rh)  # [B, k, n]

@@ -142,6 +142,43 @@ class T5Attention(nn.Module):
     has_relative_bias: bool = False
     bidirectional: bool = True  # bucket scheme for the relative bias
 
+    def setup(self):
+        cfg = self.cfg
+        inner = cfg.num_heads * cfg.d_kv
+        d = cfg.d_model
+        dt = cfg.compute_dtype
+        # q/k/v stay THREE separate GEMMs on purpose: fusing them into one
+        # [d, 3*inner] wide GEMM wins 1.135x on the projection GEMMs in
+        # isolation (benchmarks/gemm_fusion_micro.py, 40.9 -> 46.4% MFU)
+        # but LOSES end-to-end — the forward jnp.split and its backward
+        # concat materialize ~250MB/step of extra HBM copies at the
+        # flagship geometry, regressing the stage-2 step 38.0 -> 40.6 ms
+        # (RESULTS.md round 3). XLA does not fuse the slices into the
+        # downstream head reshape/transpose.
+        self.q = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal((d * cfg.d_kv) ** -0.5))
+        self.k = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5))
+        self.v = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5))
+        self.o = nn.Dense(cfg.d_model, use_bias=False, dtype=dt, kernel_init=_normal(inner**-0.5))
+        if self.has_relative_bias:
+            self.rel_bias = self.param(
+                "rel_bias", _normal(d**-0.5), (cfg.rel_buckets, cfg.num_heads)
+            )
+
+    def _heads(self, x: jax.Array) -> jax.Array:
+        """[B, L, H*dk] -> [B, H, L, dk]."""
+        B, L, _ = x.shape
+        return x.reshape(B, L, self.cfg.num_heads, self.cfg.d_kv).transpose(0, 2, 1, 3)
+
+    def kv_heads(self, kv_in: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Projected K/V heads ([B, H, Lk, dk] each) — the level-invariant
+        half of cross-attention. Beam search computes these ONCE per
+        generate() and feeds them back via `kv_cache` so the L decode
+        stages skip the [B*Le, d] @ [d, d] K/V GEMMs. (Within the current
+        single-jit generate() XLA CSE already dedupes those GEMMs, so this
+        is an explicit guarantee rather than a measured win — RESULTS.md
+        round 3.)"""
+        return self._heads(self.k(kv_in)), self._heads(self.v(kv_in))
+
     def _use_fused(self, lq: int, lk: int, training: bool) -> bool:
         mode = self.cfg.fused_attention
         if mode == "interpret":
@@ -170,7 +207,6 @@ class T5Attention(nn.Module):
         # step (train/decoder_steps.py) for multi-chip kernels instead.
         return jax.default_backend() == "tpu" and jax.device_count() == 1
 
-    @nn.compact
     def __call__(
         self,
         x: jax.Array,  # [B, Lq, d]
@@ -179,30 +215,20 @@ class T5Attention(nn.Module):
         position_bias: Optional[jax.Array] = None,  # [1, H, Lq, Lk]
         causal: bool = False,
         training: bool = False,
+        kv_cache: Optional[tuple] = None,  # precomputed kv_heads() output
     ):
         cfg = self.cfg
         inner = cfg.num_heads * cfg.d_kv
         d = cfg.d_model
-        kv_in = x if kv is None else kv
         B, Lq, _ = x.shape
-        Lk = kv_in.shape[1]
 
         dt = cfg.compute_dtype
-        # q/k/v stay THREE separate GEMMs on purpose: fusing them into one
-        # [d, 3*inner] wide GEMM wins 1.135x on the projection GEMMs in
-        # isolation (benchmarks/gemm_fusion_micro.py, 40.9 -> 46.4% MFU)
-        # but LOSES end-to-end — the forward jnp.split and its backward
-        # concat materialize ~250MB/step of extra HBM copies at the
-        # flagship geometry, regressing the stage-2 step 38.0 -> 40.6 ms
-        # (RESULTS.md round 3). XLA does not fuse the slices into the
-        # downstream head reshape/transpose.
-        q = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal((d * cfg.d_kv) ** -0.5), name="q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5), name="k")(kv_in)
-        v = nn.Dense(inner, use_bias=False, dtype=dt, kernel_init=_normal(d**-0.5), name="v")(kv_in)
-
-        q = q.reshape(B, Lq, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Lk, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+        q = self._heads(self.q(x))
+        if kv_cache is not None:
+            k, v = kv_cache  # [B, H, Lk, dk] from kv_heads()
+        else:
+            k, v = self.kv_heads(x if kv is None else kv)
+        Lk = k.shape[2]
 
         if position_bias is None and self.has_relative_bias:
             ctx = jnp.arange(Lq)[:, None]
@@ -210,15 +236,12 @@ class T5Attention(nn.Module):
             buckets = relative_position_bucket(
                 mem - ctx, self.bidirectional, cfg.rel_buckets, cfg.rel_max_distance
             )
-            bias_table = self.param(
-                "rel_bias", _normal(d**-0.5), (cfg.rel_buckets, cfg.num_heads)
-            )
             # matmul-backward lookup (ops/embedding.py): the plain-index
             # gradient is a scatter-add over Lq*Lk indices into the tiny
             # [rel_buckets, H] table — at the 800-token geometry that one
             # scatter (646k keys) dominated the backward (step_phases r3:
             # non-attention bwd was 4x its fwd before this)
-            position_bias = embedding_lookup(bias_table, buckets).transpose(2, 0, 1)[None]  # [1,H,Lq,Lk]
+            position_bias = embedding_lookup(self.rel_bias, buckets).transpose(2, 0, 1)[None]  # [1,H,Lq,Lk]
 
         if self._use_fused(Lq, Lk, training):
             from rqvae_tpu.ops.pallas.attention import t5_attention
@@ -258,10 +281,7 @@ class T5Attention(nn.Module):
             weights = _dropout(self, weights, training)
             out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(dt)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
-        out = nn.Dense(
-            cfg.d_model, use_bias=False, dtype=dt, kernel_init=_normal((inner) ** -0.5), name="o"
-        )(out)
-        return out, position_bias
+        return self.o(out), position_bias
 
 
 class T5FFN(nn.Module):
@@ -282,7 +302,23 @@ class T5Block(nn.Module):
     is_decoder: bool = False
     has_relative_bias: bool = False
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.ln_self = RMSNorm(cfg.layer_norm_eps)
+        self.self_attn = T5Attention(
+            cfg, has_relative_bias=self.has_relative_bias, bidirectional=not self.is_decoder
+        )
+        if self.is_decoder:
+            self.ln_cross = RMSNorm(cfg.layer_norm_eps)
+            self.cross_attn = T5Attention(cfg, has_relative_bias=False)
+        self.ln_ffn = RMSNorm(cfg.layer_norm_eps)
+        self.ffn = T5FFN(cfg)
+
+    def cross_kv(self, enc_out: jax.Array):
+        """This block's cross-attention K/V heads over `enc_out` (the
+        level-invariant beam-search cache; see T5Attention.kv_heads)."""
+        return self.cross_attn.kv_heads(enc_out)
+
     def __call__(
         self,
         x,
@@ -292,18 +328,13 @@ class T5Block(nn.Module):
         position_bias=None,
         training: bool = False,
         beams: int = 1,  # x batch = beams * enc_out batch (beam search)
+        cross_kv=None,  # precomputed cross-attention (k, v) heads
     ):
-        cfg = self.cfg
         drop = lambda h: _dropout(self, h, training)
 
         # self attention (causal in the decoder)
-        h, position_bias = T5Attention(
-            cfg,
-            has_relative_bias=self.has_relative_bias,
-            bidirectional=not self.is_decoder,
-            name="self_attn",
-        )(
-            RMSNorm(cfg.layer_norm_eps, name="ln_self")(x),
+        h, position_bias = self.self_attn(
+            self.ln_self(x),
             mask=self_mask,
             position_bias=position_bias,
             causal=self.is_decoder,
@@ -311,8 +342,8 @@ class T5Block(nn.Module):
         )
         x = x + drop(h)
 
-        if self.is_decoder and enc_out is not None:
-            xq = RMSNorm(cfg.layer_norm_eps, name="ln_cross")(x)
+        if self.is_decoder and (enc_out is not None or cross_kv is not None):
+            xq = self.ln_cross(x)
             if beams > 1:
                 # beam-folded cross-attention: the k beams of one query
                 # share enc_out, so attend as [B, k*T] queries against the
@@ -322,17 +353,18 @@ class T5Block(nn.Module):
                 # no position bias and no self mask, so folding is exact.
                 Bk, T, d = xq.shape
                 xq = xq.reshape(Bk // beams, beams * T, d)
-            h, _ = T5Attention(cfg, has_relative_bias=False, name="cross_attn")(
+            h, _ = self.cross_attn(
                 xq,
                 kv=enc_out,
                 mask=enc_mask,
                 training=training,
+                kv_cache=cross_kv,
             )
             if beams > 1:
                 h = h.reshape(x.shape)
             x = x + drop(h)
 
-        h = T5FFN(cfg, name="ffn")(RMSNorm(cfg.layer_norm_eps, name="ln_ffn")(x), training=training)
+        h = self.ffn(self.ln_ffn(x), training=training)
         return x + drop(h), position_bias
 
 
@@ -342,7 +374,26 @@ class T5Stack(nn.Module):
     cfg: T5StackConfig
     is_decoder: bool = False
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        # remat: all block args passed positionally; `training`/`beams`
+        # (indices 6, 7 counting self) must be static
+        block_cls = nn.remat(T5Block, static_argnums=(6, 7)) if cfg.remat else T5Block
+        # list attribute `block` -> flax names "block_0", "block_1", ...
+        self.block = [
+            block_cls(cfg, is_decoder=self.is_decoder, has_relative_bias=(i == 0))
+            for i in range(cfg.num_layers)
+        ]
+        self.ln_final = RMSNorm(cfg.layer_norm_eps)
+
+    def cross_kv(self, enc_out: jax.Array):
+        """Per-layer cross-attention K/V heads over `enc_out` — computed
+        once per generate() and threaded back through __call__(cross_kv=...)
+        so each beam-search decode stage skips the level-invariant
+        [B*Le, d] @ [d, d] K/V projections (decoder stacks only)."""
+        assert self.is_decoder, "cross_kv is a decoder-stack cache"
+        return tuple(b.cross_kv(enc_out.astype(self.cfg.compute_dtype)) for b in self.block)
+
     def __call__(
         self,
         inputs_embeds: jax.Array,  # [B, L, d]
@@ -351,19 +402,15 @@ class T5Stack(nn.Module):
         enc_mask: Optional[jax.Array] = None,
         training: bool = False,
         beams: int = 1,  # see T5Block: input batch = beams * enc batch
+        cross_kv: Optional[tuple] = None,  # per-layer cross_kv() output
     ) -> jax.Array:
         cfg = self.cfg
         x = _dropout(self, inputs_embeds.astype(cfg.compute_dtype), training)
         position_bias = None
-        # remat: all block args passed positionally; `training`/`beams`
-        # (indices 6, 7 counting self) must be static
-        block_cls = nn.remat(T5Block, static_argnums=(6, 7)) if cfg.remat else T5Block
         for i in range(cfg.num_layers):
-            x, position_bias = block_cls(
-                cfg,
-                is_decoder=self.is_decoder,
-                has_relative_bias=(i == 0),
-                name=f"block_{i}",
-            )(x, enc_out, self_mask, enc_mask, position_bias, training, beams)
-        x = RMSNorm(cfg.layer_norm_eps, name="ln_final")(x)
+            x, position_bias = self.block[i](
+                x, enc_out, self_mask, enc_mask, position_bias, training, beams,
+                None if cross_kv is None else cross_kv[i],
+            )
+        x = self.ln_final(x)
         return _dropout(self, x, training).astype(jnp.float32)

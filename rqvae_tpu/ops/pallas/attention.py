@@ -252,12 +252,20 @@ def _auto_block_b(batch, lq, lk, dk, n_score_bufs=3, budget=12 * 1024 * 1024):
     VMEM budget. Backward (scores/P/dS, n_score_bufs=3, 12MB) measured at
     the flagship stage-2 geometry (Lq=Lk=80, dk=64): 32 -> 38.1 ms/step vs
     8 -> 39.4 (benchmarks/ab_stage2_step.py). The forward holds only
-    scores/P and gets a larger budget (fewer, bigger grid steps)."""
+    scores/P and gets a larger budget (fewer, bigger grid steps).
+
+    When even block 2 busts the budget (the long-row regime, e.g. the
+    804-token ML-32M rows), floor at 4 instead as long as it physically
+    fits under the kernel's vmem_limit: measured at L=804 (RESULTS.md r3),
+    block 4 beats 2 on BOTH passes (fwd 1.35 -> 1.29 ms, bwd 1.68 -> 1.61)
+    and 8 is worse for the backward."""
     per_row = n_score_bufs * lq * lk * 4 + 2 * (lq + 3 * lk) * dk * 2
-    for bb in (128, 64, 32, 16, 8, 4, 2):
-        if bb * per_row * 2 <= budget or bb == 2:
+    for bb in (128, 64, 32, 16, 8, 4):
+        if bb * per_row * 2 <= budget:
             return min(bb, max(batch, 1))
-    return 2
+    hard = 80 * 1024 * 1024  # under the 100MB vmem_limit with headroom
+    bb = 4 if 4 * per_row * 2 <= hard else 2
+    return min(bb, max(batch, 1))
 
 
 def t5_attention(

@@ -1,0 +1,137 @@
+"""Shape-bucketed request batching for TPU serving.
+
+XLA compiles one program per input shape. A serving front end that passes
+raw request shapes straight through therefore recompiles on every new
+(batch, history-length) combination — and the alternative, padding every
+request to the global maximum, makes a 3-item history pay the full
+800-token encoder (the encoder is ~70% of a long-row beam batch,
+RESULTS.md round 3). The TPU-idiomatic middle ground is a small static
+set of shape buckets:
+
+- each request's item history is padded up to the next ITEM bucket
+  (-1 padding; masked positions are exact no-ops — locked by
+  tests/test_engine.py against the unpadded program);
+- requests are grouped per bucket and stacked, the group batch is padded
+  up to the next BATCH bucket with empty rows (discarded on return);
+- every (batch_bucket, item_bucket) pair maps to one cached XLA program,
+  so steady-state serving never compiles.
+
+The reference has no serving layer (generate() is only called from its
+eval loop, /root/reference/train_decoder.py:221-246, at the fixed eval
+batch shape); this subsystem is beyond-parity surface, like
+serving/retriever.py which it wraps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from rqvae_tpu.serving.retriever import RetrievalResult, Retriever
+
+
+def _default_item_buckets(max_items: int) -> tuple:
+    """Powers of two up to max_items, always including max_items itself."""
+    buckets = []
+    b = 8
+    while b < max_items:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_items)
+    return tuple(buckets)
+
+
+class RetrievalEngine:
+    """Batched, shape-bucketed front end over `Retriever`.
+
+    `max_items` is the longest history (in items) the engine serves;
+    longer histories keep their most recent `max_items` items (the
+    reference's windowing keeps the most recent context too,
+    /root/reference/data/processed.py:32-36).
+    """
+
+    def __init__(
+        self,
+        retriever: Retriever,
+        max_items: int,
+        item_buckets: Optional[Sequence[int]] = None,
+        batch_buckets: Sequence[int] = (1, 4, 16, 64),
+    ):
+        self.retriever = retriever
+        self.max_items = int(max_items)
+        self.item_buckets = tuple(
+            sorted(item_buckets) if item_buckets else _default_item_buckets(self.max_items)
+        )
+        assert self.item_buckets[-1] >= self.max_items, "largest item bucket must cover max_items"
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        # observability: how many batches ran at each (batch, items) shape
+        self.shape_counts: dict = {}
+
+    def _bucket_for(self, n: int, buckets: tuple) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    def _run_group(self, hists, uids, item_bucket):
+        """hists: list of 1-D int arrays (each <= item_bucket items)."""
+        n = len(hists)
+        bb = self._bucket_for(n, self.batch_buckets)
+        padded = np.full((bb, item_bucket), -1, np.int32)
+        users = np.zeros((bb,), np.int32)
+        for i, h in enumerate(hists):
+            padded[i, : len(h)] = h
+            users[i] = uids[i]
+        self.shape_counts[(bb, item_bucket)] = self.shape_counts.get((bb, item_bucket), 0) + 1
+        res = self.retriever.retrieve(padded, users)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], res)
+
+    def retrieve_many(
+        self,
+        histories: Sequence[np.ndarray],  # per-request 1-D item-id arrays
+        user_ids: Optional[Sequence[int]] = None,
+    ) -> RetrievalResult:
+        """Serve a list of variable-length requests; results stack in
+        request order."""
+        if user_ids is None:
+            user_ids = [0] * len(histories)
+        assert len(user_ids) == len(histories)
+        # truncate to the most recent max_items, drop explicit pad markers
+        cleaned = []
+        for h in histories:
+            h = np.asarray(h, np.int32)
+            h = h[h >= 0]
+            cleaned.append(h[-self.max_items :])
+
+        groups: dict = {}
+        for i, h in enumerate(cleaned):
+            b = self._bucket_for(max(len(h), 1), self.item_buckets)
+            groups.setdefault(b, []).append(i)
+
+        out = [None] * len(cleaned)
+        for item_bucket, idxs in sorted(groups.items()):
+            # split oversize groups at the largest batch bucket
+            cap = self.batch_buckets[-1]
+            for s in range(0, len(idxs), cap):
+                chunk = idxs[s : s + cap]
+                res = self._run_group(
+                    [cleaned[i] for i in chunk], [user_ids[i] for i in chunk], item_bucket
+                )
+                for j, i in enumerate(chunk):
+                    out[i] = jax.tree_util.tree_map(lambda a, j=j: a[j], res)
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *out)
+
+    def warmup(self) -> int:
+        """Compile every (batch, items) bucket pair upfront (optional —
+        serving systems pay compiles at deploy time, not on live traffic).
+        Returns the number of programs warmed."""
+        n = 0
+        for ib in self.item_buckets:
+            for bb in self.batch_buckets:
+                dummy = np.full((bb, ib), -1, np.int32)
+                dummy[:, 0] = 0  # one valid item per row
+                self.retriever.retrieve(dummy, np.zeros((bb,), np.int32))
+                n += 1
+        return n

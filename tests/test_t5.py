@@ -168,6 +168,23 @@ class TestRematAndBeams:
         folded_r = stack_r.apply(params, xk, enc_out=enc, enc_mask=enc_mask, beams=k)
         np.testing.assert_allclose(np.asarray(folded_r), np.asarray(folded), atol=1e-6)
 
+    def test_cross_kv_cache_is_exact(self):
+        """Precomputed cross-attention K/V (T5Stack.cross_kv, the beam-search
+        cache) must be BITWISE identical to the per-call projection — same
+        GEMMs, just hoisted out of the decode stages."""
+        stack, params, x, enc, enc_mask = _init_stack(is_decoder=True)
+        kv = stack.apply(params, enc, method=T5Stack.cross_kv)
+        assert len(kv) == CFG.num_layers and len(kv[0]) == 2
+        cached = stack.apply(params, x, enc_out=None, enc_mask=enc_mask, cross_kv=kv)
+        plain = stack.apply(params, x, enc_out=enc, enc_mask=enc_mask)
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(plain))
+        # beam-folded path too
+        B, k = x.shape[0], 3
+        xk = jnp.repeat(x, k, axis=0)
+        cached_k = stack.apply(params, xk, enc_out=None, enc_mask=enc_mask, beams=k, cross_kv=kv)
+        plain_k = stack.apply(params, xk, enc_out=enc, enc_mask=enc_mask, beams=k)
+        np.testing.assert_array_equal(np.asarray(cached_k), np.asarray(plain_k))
+
 
 class TestFusedGate:
     """_use_fused policy (models/t5.py): training always fused on 1-device

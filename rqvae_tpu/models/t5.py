@@ -96,7 +96,12 @@ def _dropout(module: nn.Module, x: jax.Array, training: bool) -> jax.Array:
         from rqvae_tpu.ops.hash_dropout import dropout_seed, hash_dropout
 
         return hash_dropout(x, dropout_seed(module.make_rng("dropout")), float(cfg.dropout))
-    return nn.Dropout(cfg.dropout, deterministic=False)(x)
+    # functional flax-style dropout (nn.Dropout's math, but no submodule —
+    # the stacks define modules in setup(), so inline nn.Dropout children
+    # are illegal here; make_rng still yields a fresh per-call stream)
+    keep_prob = 1.0 - cfg.dropout
+    mask = jax.random.bernoulli(module.make_rng("dropout"), keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
 
 
 class RMSNorm(nn.Module):

@@ -5,7 +5,11 @@ search takes argmax-like decisions, so tiny score deltas can flip
 low-margin beams — this measures the realized disagreement rate at the
 ML-32M geometry.
 
-PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/beam_equivalence.py [--items N]
+PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/beam_equivalence.py [--items N] [--knob fused_attention|fused_decode]
+
+--knob fused_decode instead A/Bs the fused decoder-stack serving kernel
+(ops/pallas/decoder_stack.py, auto vs off) with the attention gate held
+at auto on both sides.
 """
 
 import sys
@@ -28,6 +32,9 @@ def main():
     n_items = 200
     if "--items" in sys.argv:
         n_items = int(sys.argv[sys.argv.index("--items") + 1])
+    knob = "fused_attention"
+    if "--knob" in sys.argv:
+        knob = sys.argv[sys.argv.index("--knob") + 1]
     rng = np.random.RandomState(0)
     sem = rng.randint(0, K, (B, n_items * D))
     batch = TokenizedSeqBatch(
@@ -42,11 +49,15 @@ def main():
     table = build_prefix_table(corpus_ids, K)
 
     outs = {}
-    for mode in ("auto", "off"):
+    # fused_decode's "auto" declines until chip-proven, so A/B "on" there
+    on = "on" if knob == "fused_decode" else "auto"
+    for mode in (on, "off"):
         cfg = RetrievalConfig(
             num_hierarchies=L, codebook_size=K, t5_d_model=384, t5_num_heads=6,
             t5_d_ff=1024, t5_num_layers=4, top_k_for_generation=10,
-            t5_dtype="bfloat16", t5_fused_attention=mode,
+            t5_dtype="bfloat16",
+            t5_fused_attention=mode if knob == "fused_attention" else "auto",
+            t5_fused_decode=mode if knob == "fused_decode" else "auto",
         )
         model = EncoderDecoderRetrievalModel(cfg)
         params = model.init(
@@ -62,9 +73,9 @@ def main():
             )
 
         outs[mode] = np.asarray(gen(params, batch, table).sem_ids)  # [B, k, L]
-        print(f"mode={mode}: generated {outs[mode].shape}", flush=True)
+        print(f"{knob}={mode}: generated {outs[mode].shape}", flush=True)
 
-    a, b = outs["auto"], outs["off"]
+    a, b = outs[on], outs["off"]
     tuple_match = (a == b).all(axis=-1)  # [B, k]
     top1 = tuple_match[:, 0].mean()
     allk = tuple_match.mean()

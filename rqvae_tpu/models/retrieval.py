@@ -72,6 +72,10 @@ class RetrievalConfig:
     t5_fused_attention: str = "auto"
     # counter-based dropout (ops/hash_dropout.py); False = flax nn.Dropout
     t5_hash_dropout: bool = True
+    # fused decoder-stack serving kernel (ops/pallas/decoder_stack.py):
+    # one pallas_call per beam-search decode level instead of ~50 XLA
+    # dispatches — see T5StackConfig.fused_decode
+    t5_fused_decode: str = "auto"
 
     @property
     def t5(self) -> T5StackConfig:
@@ -86,6 +90,7 @@ class RetrievalConfig:
             remat=self.t5_remat,
             fused_attention=self.t5_fused_attention,
             hash_dropout=self.t5_hash_dropout,
+            fused_decode=self.t5_fused_decode,
         )
 
 
@@ -174,6 +179,14 @@ class EncoderDecoderRetrievalModel(nn.Module):
         enc = self.encoder(embs, self_mask=mask, training=training)
         return enc, mask
 
+    def _decoder_embs(self, fut_ids: Optional[jax.Array], rows: int) -> jax.Array:
+        """BOS + offset-shifted prefix embeddings: [rows, T+1, d]."""
+        bos = jnp.broadcast_to(self.bos_token, (rows, 1, self.config.t5_d_model))
+        if fut_ids is None or fut_ids.shape[1] == 0:
+            return bos
+        shifted = fut_ids + self._offsets(fut_ids.shape[1])[None, :]
+        return jnp.concatenate([bos, embedding_lookup(self.sid_embedding, shifted)], axis=1)
+
     def decoder_forward(
         self,
         fut_ids: Optional[jax.Array],  # [B*beams, T] prefix (None = BOS only)
@@ -183,14 +196,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
         beams: int = 1,  # beam search: decoder rows per encoder row
         cross_kv: Optional[tuple] = None,  # decoder.cross_kv(enc_out) cache
     ) -> jax.Array:
-        B = enc_out.shape[0] * beams
-        bos = jnp.broadcast_to(self.bos_token, (B, 1, self.config.t5_d_model))
-        if fut_ids is not None and fut_ids.shape[1] > 0:
-            T = fut_ids.shape[1]
-            shifted = fut_ids + self._offsets(T)[None, :]
-            embs = jnp.concatenate([bos, embedding_lookup(self.sid_embedding, shifted)], axis=1)
-        else:
-            embs = bos
+        embs = self._decoder_embs(fut_ids, enc_out.shape[0] * beams)
         return self.decoder(
             embs, self_mask=None, enc_out=enc_out, enc_mask=enc_mask, training=training,
             beams=beams, cross_kv=cross_kv,
@@ -253,6 +259,28 @@ class EncoderDecoderRetrievalModel(nn.Module):
         # stages into separate programs.
         cross_kv = self.decoder.cross_kv(enc)
 
+        # decode-level dispatch: the fused decoder-stack kernel collapses
+        # one level's ~50 tiny XLA ops into a single pallas_call with
+        # weights resident in VMEM (ops/pallas/decoder_stack.py — the
+        # decode stages are dispatch-bound, ~79% of the Amazon serving
+        # batch per benchmarks/beam_phases.py); gate like the attention
+        # kernel (t5.py::T5Stack.use_fused_decode)
+        fd = self.decoder.use_fused_decode()
+
+        def decode_last(prefix: Optional[jax.Array], beams: int) -> jax.Array:
+            """Last-position decoder states [B*beams, d] for one level."""
+            if not fd:
+                return self.decoder_forward(
+                    prefix, enc, enc_mask, beams=beams, cross_kv=cross_kv
+                )[:, -1]
+            embs = self._decoder_embs(prefix, B * beams)
+            T = embs.shape[1]
+            y = self.decoder.fused_decode(
+                embs.reshape(B, beams * T, -1), cross_kv, enc_mask,
+                beams=beams, interpret=(fd == "interpret"),
+            )  # [B, beams*T, d] f32
+            return y.reshape(B, beams, T, -1)[:, :, -1].reshape(B * beams, -1)
+
         def head_logprobs(dec_last: jax.Array, h: int) -> jax.Array:
             logits = dec_last @ self.heads[h]
             return jax.nn.log_softmax(logits, axis=-1)
@@ -284,7 +312,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
             return jnp.where(child_ok, logp, NEG_INF), cand
 
         # --- level 0: all beams share the empty prefix ---
-        dec = self.decoder_forward(None, enc, enc_mask, cross_kv=cross_kv)[:, -1]  # [B, d]
+        dec = decode_last(None, 1)  # [B, d]
         logp0 = head_logprobs(dec, 0)  # [B, K]
         # packed-key dtype (NOT bool — dense levels store bitmaps; a dense
         # level-0 implies small keys, so int32 is always safe there)
@@ -301,9 +329,7 @@ class EncoderDecoderRetrievalModel(nn.Module):
         # --- levels 1..L-1 ---
         for h in range(1, L):
             flat_prefix = beam_ids.reshape(B * k, h)
-            dec = self.decoder_forward(
-                flat_prefix, enc, enc_mask, beams=k, cross_kv=cross_kv
-            )[:, -1]  # [B*k, d]
+            dec = decode_last(flat_prefix, k)  # [B*k, d]
             logp = head_logprobs(dec, h).reshape(B, k, K)
             rh = jax.random.fold_in(rng, h) if rng is not None else None
             scores, cand = candidate_scores(logp, beam_keys, h, rh)  # [B, k, n]

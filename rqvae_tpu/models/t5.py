@@ -75,6 +75,13 @@ class T5StackConfig:
     # (flax Dropout's saved masks cost ~13 ms/step at the flagship
     # stage-2 geometry). False falls back to nn.Dropout.
     hash_dropout: bool = True
+    # fused decoder-stack serving kernel (ops/pallas/decoder_stack.py):
+    # runs ALL decoder layers of one beam-search decode level in a single
+    # pallas_call with weights resident in VMEM — the XLA path's ~50 tiny
+    # dispatches per level are the measured serving cost at short rows
+    # (benchmarks/beam_phases.py). Same mode strings as fused_attention:
+    # "auto" (single-device TPU inference), "on", "off", "interpret".
+    fused_decode: str = "auto"
 
     @property
     def compute_dtype(self):
@@ -398,6 +405,118 @@ class T5Stack(nn.Module):
         [B*Le, d] @ [d, d] K/V projections (decoder stacks only)."""
         assert self.is_decoder, "cross_kv is a decoder-stack cache"
         return tuple(b.cross_kv(enc_out.astype(self.cfg.compute_dtype)) for b in self.block)
+
+    def use_fused_decode(self):
+        """Serving-kernel gate (cfg.fused_decode): False, True, or
+        "interpret". "auto" = single-device TPU only — a pallas_call inside
+        a GSPMD program would replicate instead of shard."""
+        mode = self.cfg.fused_decode
+        if mode == "off":
+            return False
+        if mode == "interpret":
+            return "interpret"
+        if mode == "on":
+            return True
+        # "auto" declines until the kernel's compiled-TPU proof lands
+        # (interpret mode is blind to Mosaic lowering errors — CLAUDE.md);
+        # flip to `backend == "tpu" and device_count() == 1` once
+        # benchmarks/beam_equivalence.py --knob fused_decode passes on chip
+        return False
+
+    def fused_decode(
+        self,
+        x_folded: jax.Array,  # [B, beams*T, d] decoder input embeddings
+        cross_kv: tuple,  # self.cross_kv(enc_out) output
+        enc_mask: jax.Array,  # [B, Le]
+        beams: int,
+        interpret: bool = False,
+    ) -> jax.Array:
+        """One-dispatch decoder-stack forward for beam-search serving
+        (ops/pallas/decoder_stack.py): all layers fused, weights resident
+        in VMEM, cross-attention against the precomputed K/V cache,
+        self-attention beam-folded under a static block-diagonal causal
+        (+shared rel-pos) bias. Inference only (no dropout path). Returns
+        [B, beams*T, d] f32 ln_final-normalized states — the caller slices
+        each beam's last position."""
+        from rqvae_tpu.ops.pallas.decoder_stack import t5_decoder_stack_infer
+
+        assert self.is_decoder
+        cfg = self.cfg
+        NL, H, dk, d = cfg.num_layers, cfg.num_heads, cfg.d_kv, cfg.d_model
+        cdt = cfg.compute_dtype
+        B, kt, _ = x_folded.shape
+        T = kt // beams
+        assert kt == beams * T
+        p = self.variables["params"]
+
+        def stack_w(get):
+            return jnp.stack([get(p[f"block_{i}"]) for i in range(NL)])
+
+        # pre-shape projections per head so the kernel never slices the
+        # lane dimension at a sub-tile (dk=64) offset
+        ph_in = lambda k_: k_.reshape(d, H, dk).transpose(1, 0, 2)  # [H, d, dk]
+        ph_out = lambda k_: k_.reshape(H, dk, d)  # [H, dk, d]
+        wq = stack_w(lambda b: ph_in(b["self_attn"]["q"]["kernel"])).astype(cdt)
+        wk = stack_w(lambda b: ph_in(b["self_attn"]["k"]["kernel"])).astype(cdt)
+        wv = stack_w(lambda b: ph_in(b["self_attn"]["v"]["kernel"])).astype(cdt)
+        wo = stack_w(lambda b: ph_out(b["self_attn"]["o"]["kernel"])).astype(cdt)
+        cq = stack_w(lambda b: ph_in(b["cross_attn"]["q"]["kernel"])).astype(cdt)
+        co = stack_w(lambda b: ph_out(b["cross_attn"]["o"]["kernel"])).astype(cdt)
+        wi = stack_w(lambda b: b["ffn"]["wi"]["kernel"]).astype(cdt)
+        wo2 = stack_w(lambda b: b["ffn"]["wo"]["kernel"]).astype(cdt)
+        ln_s = stack_w(lambda b: b["ln_self"]["weight"]).astype(jnp.float32)
+        ln_c = stack_w(lambda b: b["ln_cross"]["weight"]).astype(jnp.float32)
+        ln_f = stack_w(lambda b: b["ln_ffn"]["weight"]).astype(jnp.float32)
+        ln_final = p["ln_final"]["weight"].astype(jnp.float32)[None, :]
+
+        # block-diagonal folded self-attention bias: rel-pos (block 0's
+        # table, shared by all layers) + causal, tiled per beam; cross-beam
+        # pairs get -1e9 (underflows to exactly 0 through softmax, so the
+        # fold is bit-exact vs per-beam attention)
+        rel = p["block_0"]["self_attn"]["rel_bias"].astype(jnp.float32)  # [nb, H]
+        ctx = jnp.arange(T)[:, None]
+        mem = jnp.arange(T)[None, :]
+        buckets = relative_position_bucket(
+            mem - ctx, False, cfg.rel_buckets, cfg.rel_max_distance
+        )
+        bias_tt = rel[buckets].transpose(2, 0, 1)  # [H, T, T]
+        bias_tt = bias_tt + jnp.where(mem <= ctx, 0.0, NEG_INF)[None]
+        beam_of = jnp.arange(kt) // T
+        same_beam = beam_of[:, None] == beam_of[None, :]
+        bias_fold = jnp.where(same_beam[None], jnp.tile(bias_tt, (1, beams, beams)), NEG_INF)
+
+        kc = jnp.stack([kv[0] for kv in cross_kv]).astype(cdt)  # [NL, B, H, Le, dk]
+        vc = jnp.stack([kv[1] for kv in cross_kv]).astype(cdt)
+
+        # pad the folded kT dim to a multiple of 8: Mosaic's lowering of the
+        # kernel's [M, dk] <-> [bb, kT, dk] regroupings requires vreg-aligned
+        # sublane groups (kT=1, the level-0 shape, fails to compile on real
+        # TPU — benchmarks/mosaic_repro.py bisected it; interpret mode is
+        # blind to this). Dummy query rows carry an all(-1e9) bias row so
+        # they attend uniformly into garbage that is sliced off below; real
+        # rows never attend dummy columns (-1e9 -> exact 0 through softmax).
+        kt8 = -(-kt // 8) * 8
+        if kt8 != kt:
+            x_folded = jnp.pad(x_folded, ((0, 0), (0, kt8 - kt), (0, 0)))
+            bias_fold = jnp.pad(
+                bias_fold, ((0, 0), (0, kt8 - kt), (0, kt8 - kt)),
+                constant_values=NEG_INF,
+            )
+        # cross-attention mask pre-broadcast to the full [B, kT, Le] block:
+        # an in-kernel [bb, 1, Le] -> [bb, kT, Le] broadcast lowers through
+        # vector extracts that CHECK-fail under the batch grid (bisected in
+        # benchmarks/mosaic_repro.py); full-shape blocks sidestep it and the
+        # extra HBM traffic is noise next to the K/V cache stream
+        mask_term = jnp.broadcast_to(
+            jnp.where(enc_mask[:, None, :] != 0, 0.0, NEG_INF).astype(jnp.float32),
+            (B, kt8, enc_mask.shape[-1]),
+        )
+        y = t5_decoder_stack_infer(
+            x_folded.astype(cdt), wq, wk, wv, wo, cq, co, wi, wo2,
+            ln_s, ln_c, ln_f, ln_final, bias_fold, kc, vc, mask_term,
+            eps=cfg.layer_norm_eps, interpret=interpret,
+        )
+        return y[:, :kt]
 
     def __call__(
         self,

@@ -90,6 +90,7 @@ def train(
     t5_dtype: str = "float32",
     t5_remat: bool = False,
     t5_fused_attention: str = "auto",  # Pallas attention: "auto"|"on"|"off"|"interpret"
+    t5_fused_decode: str = "auto",  # Pallas decoder-stack serving kernel (full eval)
     t5_hash_dropout: bool = True,  # counter-based dropout; False = flax nn.Dropout
     warmup_steps: int = 10000,
     sample_candidates: bool = False,
@@ -197,6 +198,7 @@ def train(
         t5_dtype=t5_dtype,
         t5_remat=t5_remat,
         t5_fused_attention=t5_fused_attention,
+        t5_fused_decode=t5_fused_decode,
         t5_hash_dropout=t5_hash_dropout,
     )
     model = EncoderDecoderRetrievalModel(cfg)

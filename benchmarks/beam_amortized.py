@@ -22,13 +22,14 @@ R = 50
 
 
 def run_beam(mode="auto", batch_size=B, n_items=N_ITEMS, r=R, corpus=CORPUS, reps=5,
-             fused_decode="auto"):
+             fused_decode="auto", fused_encode="auto"):
     """Amortized constrained-beam QPS; importable for one-process sessions."""
     B, N_ITEMS, R, CORPUS = batch_size, n_items, r, corpus  # noqa: N806
     cfg = RetrievalConfig(
         num_hierarchies=L, codebook_size=K, t5_d_model=384, t5_num_heads=6,
         t5_d_ff=1024, t5_num_layers=4, top_k_for_generation=10,
         t5_dtype="bfloat16", t5_fused_attention=mode, t5_fused_decode=fused_decode,
+        t5_fused_encode=fused_encode,
     )
     model = EncoderDecoderRetrievalModel(cfg)
     rng = np.random.RandomState(0)
@@ -68,7 +69,7 @@ def run_beam(mode="auto", batch_size=B, n_items=N_ITEMS, r=R, corpus=CORPUS, rep
         c, _ = jax.lax.scan(body, jnp.int32(0), None, length=R)
         return c
 
-    print(f"mode={mode} fd={fused_decode} backend={jax.default_backend()} R={R} B={B} items={N_ITEMS}")
+    print(f"mode={mode} fd={fused_decode} fe={fused_encode} backend={jax.default_backend()} R={R} B={B} items={N_ITEMS}")
     t0 = time.perf_counter()
     c = int(amortized(params, batch, table))
     print(f"compile+run {time.perf_counter()-t0:.1f}s (c={c})")
@@ -95,7 +96,10 @@ def main():
     fd = "auto"
     if "--fused-decode" in sys.argv:
         fd = sys.argv[sys.argv.index("--fused-decode") + 1]
-    run_beam(mode, batch, n_items, fused_decode=fd)
+    fe = "auto"
+    if "--fused-encode" in sys.argv:
+        fe = sys.argv[sys.argv.index("--fused-encode") + 1]
+    run_beam(mode, batch, n_items, fused_decode=fd, fused_encode=fe)
 
 
 if __name__ == "__main__":

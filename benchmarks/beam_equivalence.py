@@ -49,8 +49,8 @@ def main():
     table = build_prefix_table(corpus_ids, K)
 
     outs = {}
-    # fused_decode's "auto" declines until chip-proven, so A/B "on" there
-    on = "on" if knob == "fused_decode" else "auto"
+    # fused_decode/fused_encode "auto" declines until chip-proven: A/B "on"
+    on = "on" if knob in ("fused_decode", "fused_encode") else "auto"
     for mode in (on, "off"):
         cfg = RetrievalConfig(
             num_hierarchies=L, codebook_size=K, t5_d_model=384, t5_num_heads=6,
@@ -58,6 +58,7 @@ def main():
             t5_dtype="bfloat16",
             t5_fused_attention=mode if knob == "fused_attention" else "auto",
             t5_fused_decode=mode if knob == "fused_decode" else "auto",
+            t5_fused_encode=mode if knob == "fused_encode" else "auto",
         )
         model = EncoderDecoderRetrievalModel(cfg)
         params = model.init(

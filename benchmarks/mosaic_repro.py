@@ -451,6 +451,34 @@ CASES["kc_mask_addzeros"] = lambda: _kc_maskfix("addzeros")
 CASES["kc_mask_prebroadcast"] = lambda: _kc_maskfix("prebroadcast")
 
 
+
+def case_enc_full(L=808, B=16):
+    """The real t5_encoder_stack_infer call at the (padded) ML-32M shape."""
+    from rqvae_tpu.ops.pallas.encoder_stack import t5_encoder_stack_infer
+
+    r = np.random.RandomState(0)
+    f = lambda *s: jnp.asarray(r.randn(*s).astype(np.float32))
+    cdt = jnp.bfloat16
+    x = (f(B, L, D) * 0.1).astype(cdt)
+    wq, wk, wv = (f(NL, H, D, DK).astype(cdt) * 0.05 for _ in range(3))
+    wo = f(NL, H, DK, D).astype(cdt) * 0.05
+    wi = f(NL, D, 1024).astype(cdt) * 0.05
+    wo2 = f(NL, 1024, D).astype(cdt) * 0.05
+    ln_s, ln_f = jnp.abs(f(NL, D)), jnp.abs(f(NL, D))
+    ln_fin = jnp.abs(f(1, D))
+    bias = f(H, L, L)
+    mask = jnp.where(jnp.asarray(r.rand(B, 1, L) > 0.2), 0.0, -1e9).astype(jnp.float32)
+
+    run = jax.jit(lambda *a: t5_encoder_stack_infer(*a, eps=1e-6))
+    out = np.asarray(run(x, wq, wk, wv, wo, wi, wo2, ln_s, ln_f, ln_fin, bias, mask))
+    assert np.isfinite(out).all()
+    print("enc_full out ok", out.shape)
+
+
+CASES["enc_full"] = case_enc_full
+CASES["enc_full_short"] = lambda: case_enc_full(L=88, B=64)
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(CASES)
     for n in names:

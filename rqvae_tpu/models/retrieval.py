@@ -76,6 +76,9 @@ class RetrievalConfig:
     # one pallas_call per beam-search decode level instead of ~50 XLA
     # dispatches — see T5StackConfig.fused_decode
     t5_fused_decode: str = "auto"
+    # fused encoder-stack serving kernel for long rows
+    # (ops/pallas/encoder_stack.py) — see T5StackConfig.fused_encode
+    t5_fused_encode: str = "auto"
 
     @property
     def t5(self) -> T5StackConfig:
@@ -91,6 +94,7 @@ class RetrievalConfig:
             fused_attention=self.t5_fused_attention,
             hash_dropout=self.t5_hash_dropout,
             fused_decode=self.t5_fused_decode,
+            fused_encode=self.t5_fused_encode,
         )
 
 

@@ -40,6 +40,12 @@ from rqvae_tpu.ops.embedding import embedding_lookup
 
 NEG_INF = -1e9
 
+# fused encoder-stack length gate: below this the XLA forward wins (same
+# crossover as the fused-attention inference gate — short rows don't pay
+# the HBM round-trips the kernel exists to remove); module-level so tests
+# can monkeypatch it down to interpret-friendly sizes
+FUSED_ENCODE_MIN_LEN = 512
+
 
 @dataclass(frozen=True)
 class T5StackConfig:
@@ -82,6 +88,13 @@ class T5StackConfig:
     # (benchmarks/beam_phases.py). Same mode strings as fused_attention:
     # "auto" (single-device TPU inference), "on", "off", "interpret".
     fused_decode: str = "auto"
+    # fused encoder-stack serving kernel (ops/pallas/encoder_stack.py):
+    # whole encoder forward in one pallas_call for LONG rows (the XLA path
+    # streams ~0.9 GB/layer of [B*L, d]/[B*L, dff] intermediates through
+    # HBM at the ML-32M geometry — 10.9 ms vs a ~4 ms roofline, 61-73% of
+    # that serving batch per benchmarks/beam_phases.py). Gated to
+    # inference at L >= FUSED_ENCODE_MIN_LEN; same mode strings.
+    fused_encode: str = "auto"
 
     @property
     def compute_dtype(self):
@@ -518,6 +531,94 @@ class T5Stack(nn.Module):
         )
         return y[:, :kt]
 
+    def use_fused_encode(self, L: int, training: bool):
+        """Encoder-serving-kernel gate (cfg.fused_encode): False, True, or
+        "interpret". Inference-only, long rows only (short rows lose to
+        XLA — see FUSED_ENCODE_MIN_LEN)."""
+        if self.is_decoder or training:
+            return False
+        # during init the param tree fused_encode reads doesn't exist yet
+        # (scope check keeps this callable on unbound modules, e.g. tests)
+        if self.scope is not None and self.is_initializing():
+            return False
+        mode = self.cfg.fused_encode
+        if mode == "off":
+            return False
+        if L < FUSED_ENCODE_MIN_LEN:
+            return False
+        if mode == "interpret":
+            return "interpret"
+        if mode == "on":
+            return True
+        # "auto" declines until the kernel's compiled-TPU proof lands
+        # (interpret mode is blind to Mosaic lowering errors — CLAUDE.md)
+        return False
+
+    def fused_encode(
+        self,
+        x: jax.Array,  # [B, L, d] encoder input embeddings
+        self_mask: Optional[jax.Array],  # [B, L] 1 = valid key
+        interpret: bool = False,
+    ) -> jax.Array:
+        """One-dispatch encoder-stack forward for long-row serving
+        (ops/pallas/encoder_stack.py): all layers fused, weights + shared
+        rel-pos bias resident in VMEM. Rows pad to a multiple of 8
+        sublanes (padded keys carry -1e9 -> exact-zero softmax weight, so
+        every real row — valid or not, matching the XLA path's key-only
+        masking — is bit-identical; padded rows are sliced off).
+        Inference only (no dropout path). Returns [B, L, d] f32."""
+        from rqvae_tpu.ops.pallas.encoder_stack import t5_encoder_stack_infer
+
+        assert not self.is_decoder
+        cfg = self.cfg
+        NL, H, dk, d = cfg.num_layers, cfg.num_heads, cfg.d_kv, cfg.d_model
+        cdt = cfg.compute_dtype
+        B, L, _ = x.shape
+        p = self.variables["params"]
+
+        def stack_w(get):
+            return jnp.stack([get(p[f"block_{i}"]) for i in range(NL)])
+
+        ph_in = lambda k_: k_.reshape(d, H, dk).transpose(1, 0, 2)  # [H, d, dk]
+        ph_out = lambda k_: k_.reshape(H, dk, d)  # [H, dk, d]
+        wq = stack_w(lambda b: ph_in(b["self_attn"]["q"]["kernel"])).astype(cdt)
+        wk = stack_w(lambda b: ph_in(b["self_attn"]["k"]["kernel"])).astype(cdt)
+        wv = stack_w(lambda b: ph_in(b["self_attn"]["v"]["kernel"])).astype(cdt)
+        wo = stack_w(lambda b: ph_out(b["self_attn"]["o"]["kernel"])).astype(cdt)
+        wi = stack_w(lambda b: b["ffn"]["wi"]["kernel"]).astype(cdt)
+        wo2 = stack_w(lambda b: b["ffn"]["wo"]["kernel"]).astype(cdt)
+        ln_s = stack_w(lambda b: b["ln_self"]["weight"]).astype(jnp.float32)
+        ln_f = stack_w(lambda b: b["ln_ffn"]["weight"]).astype(jnp.float32)
+        ln_final = p["ln_final"]["weight"].astype(jnp.float32)[None, :]
+
+        L8 = -(-L // 8) * 8
+        if L8 != L:
+            x = jnp.pad(x, ((0, 0), (0, L8 - L), (0, 0)))
+
+        # shared bidirectional rel-pos bias at the padded length (block 0's
+        # table; relative buckets make the real (q, k) entries identical to
+        # the unpadded program)
+        rel = p["block_0"]["self_attn"]["rel_bias"].astype(jnp.float32)  # [nb, H]
+        ctx = jnp.arange(L8)[:, None]
+        mem = jnp.arange(L8)[None, :]
+        buckets = relative_position_bucket(
+            mem - ctx, True, cfg.rel_buckets, cfg.rel_max_distance
+        )
+        bias = rel[buckets].transpose(2, 0, 1)  # [H, L8, L8]
+
+        if self_mask is None:
+            valid = jnp.ones((B, L), bool)
+        else:
+            valid = self_mask.astype(bool)
+        valid = jnp.pad(valid, ((0, 0), (0, L8 - L)))  # padded keys invalid
+        mask = jnp.where(valid[:, None, :], 0.0, NEG_INF).astype(jnp.float32)
+
+        y = t5_encoder_stack_infer(
+            x.astype(cdt), wq, wk, wv, wo, wi, wo2, ln_s, ln_f, ln_final,
+            bias, mask, eps=cfg.layer_norm_eps, interpret=interpret,
+        )
+        return y[:, :L]
+
     def __call__(
         self,
         inputs_embeds: jax.Array,  # [B, L, d]
@@ -529,6 +630,13 @@ class T5Stack(nn.Module):
         cross_kv: Optional[tuple] = None,  # per-layer cross_kv() output
     ) -> jax.Array:
         cfg = self.cfg
+        fe = False if self.is_decoder else self.use_fused_encode(
+            inputs_embeds.shape[1], training
+        )
+        if fe:
+            return self.fused_encode(
+                inputs_embeds, self_mask, interpret=(fe == "interpret")
+            )
         x = _dropout(self, inputs_embeds.astype(cfg.compute_dtype), training)
         position_bias = None
         for i in range(cfg.num_layers):

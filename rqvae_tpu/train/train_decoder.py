@@ -91,6 +91,7 @@ def train(
     t5_remat: bool = False,
     t5_fused_attention: str = "auto",  # Pallas attention: "auto"|"on"|"off"|"interpret"
     t5_fused_decode: str = "auto",  # Pallas decoder-stack serving kernel (full eval)
+    t5_fused_encode: str = "auto",  # Pallas encoder-stack serving kernel (long rows)
     t5_hash_dropout: bool = True,  # counter-based dropout; False = flax nn.Dropout
     warmup_steps: int = 10000,
     sample_candidates: bool = False,
@@ -199,6 +200,7 @@ def train(
         t5_remat=t5_remat,
         t5_fused_attention=t5_fused_attention,
         t5_fused_decode=t5_fused_decode,
+        t5_fused_encode=t5_fused_encode,
         t5_hash_dropout=t5_hash_dropout,
     )
     model = EncoderDecoderRetrievalModel(cfg)

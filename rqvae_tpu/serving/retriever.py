@@ -32,6 +32,79 @@ class RetrievalResult(NamedTuple):
     log_probas: jax.Array  # [B, k]
 
 
+def _promote_serving_gates(model: EncoderDecoderRetrievalModel):
+    """Promote "auto" Pallas serving-kernel gates to the explicit "on"
+    override for per-shard execution. The auto gates decline multi-device
+    because a pallas_call inside a plain GSPMD jit would be REPLICATED
+    (it has no partitioning rule) — but per-shard execution is exactly
+    what shard_map guarantees, so inside one the kernels are safe (same
+    promotion as the shard_map train step, train/decoder_steps.py)."""
+    from dataclasses import replace
+
+    if jax.default_backend() != "tpu":
+        return model
+    upd = {
+        f: "on"
+        for f in ("t5_fused_attention", "t5_fused_decode", "t5_fused_encode")
+        if getattr(model.config, f) == "auto"
+    }
+    return type(model)(replace(model.config, **upd)) if upd else model
+
+
+def make_shardmap_generate(
+    model: EncoderDecoderRetrievalModel,
+    mesh,
+    axis: str = "data",
+):
+    """Batch-sharded constrained beam search via jax.shard_map: each device
+    runs the FULL generate() on its batch shard — including the Pallas
+    serving kernels, which a plain GSPMD jit would replicate — with no
+    cross-device communication (beam search is row-independent). Params
+    and the prefix table are replicated; the batch must divide the mesh
+    axis. Sampled-candidate mode folds the device's axis index into the
+    rng so shards draw independent noise.
+
+    The reference's eval/generation is strictly per-process
+    (/root/reference/train_decoder.py:221-246); this is the scale-out
+    serving equivalent.
+
+    Returns fn(params, sem_ids, seq_mask, user_ids, prefix_table, rng)
+    -> GenerationOutput (rng may be None when not sampling)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    model = _promote_serving_gates(model)
+    sampled = model.config.sample_candidates
+
+    def gen_shard(params, sem_ids, seq_mask, user_ids, prefix_table, rng):
+        if sampled:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        return model.apply(
+            params, sem_ids, seq_mask, user_ids, prefix_table,
+            rng if sampled else None,
+            method=EncoderDecoderRetrievalModel.generate,
+        )
+
+    smapped = shard_map(
+        gen_shard,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def generate(params, sem_ids, seq_mask, user_ids, prefix_table, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)  # unused when not sampling
+        return smapped(params, sem_ids, seq_mask, user_ids, prefix_table, rng)
+
+    return generate
+
+
 class Retriever:
     """history (item ids) -> top-k item ids. Build directly or via
     `Retriever.from_checkpoints(rqvae_ckpt, decoder_ckpt, item_features)`."""
@@ -98,6 +171,8 @@ class Retriever:
         params,
         tokenizer: SemanticIdTokenizer,
         seed: Optional[int] = None,
+        mesh=None,  # jax.sharding.Mesh: shard the query batch over `mesh_axis`
+        mesh_axis: str = "data",
     ):
         if tokenizer.cached_ids is None:
             raise ValueError("Tokenizer has no corpus index; call precompute_corpus_ids first")
@@ -124,17 +199,27 @@ class Retriever:
         sorted_keys, sorted_items = self._sorted_keys, self._sorted_items
         prefix_table = self.prefix_table
 
+        if mesh is not None:
+            # scale-out serving: batch-sharded generate with the Pallas
+            # kernels running per-shard (beam search is row-independent,
+            # so the shard_map needs zero collectives); the searchsorted
+            # inverse lookup below stays in the outer jit — it's a plain
+            # gather, GSPMD-friendly
+            sharded_gen = make_shardmap_generate(model, mesh, mesh_axis)
+
+            def run_gen(params, sem_ids, seq_mask, user_ids, rng):
+                return sharded_gen(params, sem_ids, seq_mask, user_ids, prefix_table, rng)
+        else:
+
+            def run_gen(params, sem_ids, seq_mask, user_ids, rng):
+                return model.apply(
+                    params, sem_ids, seq_mask, user_ids, prefix_table, rng,
+                    method=EncoderDecoderRetrievalModel.generate,
+                )
+
         @jax.jit
         def _query(params, sem_ids, seq_mask, user_ids, rng):
-            gen = model.apply(
-                params,
-                sem_ids,
-                seq_mask,
-                user_ids,
-                prefix_table,
-                rng,
-                method=EncoderDecoderRetrievalModel.generate,
-            )
+            gen = run_gen(params, sem_ids, seq_mask, user_ids, rng)
             tuple_keys = pack_sem_id_tuples(gen.sem_ids, K)  # [B, k]
             idx = jnp.clip(
                 jnp.searchsorted(sorted_keys, tuple_keys, side="left"),

@@ -95,3 +95,64 @@ class TestRetriever:
                 it = items[b, j]
                 if it >= 0:
                     assert cached[it, 3] == 0  # dedup column: earliest duplicate
+
+
+class TestShardedRetriever:
+    """Scale-out serving: batch-sharded generate via shard_map
+    (serving/retriever.py::make_shardmap_generate) must be invisible to
+    results — beam search is row-independent, so sharding the batch over
+    the mesh changes nothing but placement."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def test_sharded_query_equals_single(self):
+        data, model, params, tok, _ = _setup()
+        hist = data["seq_items"][:8, :8]  # 8 rows / 8 devices
+        plain = Retriever(model, params, tok).retrieve(hist)
+        sharded = Retriever(model, params, tok, mesh=self._mesh()).retrieve(hist)
+        np.testing.assert_array_equal(np.asarray(plain.item_ids), np.asarray(sharded.item_ids))
+        np.testing.assert_array_equal(np.asarray(plain.sem_ids), np.asarray(sharded.sem_ids))
+        np.testing.assert_allclose(
+            np.asarray(plain.log_probas), np.asarray(sharded.log_probas), rtol=1e-6, atol=1e-6
+        )
+
+    def test_sharded_query_with_kernels_interpret(self, monkeypatch):
+        """The Pallas serving kernels (decoder-stack + encoder-stack,
+        interpret mode) running PER-SHARD inside the shard_map must also
+        leave results unchanged."""
+        import rqvae_tpu.models.t5 as t5mod
+        from dataclasses import replace
+
+        monkeypatch.setattr(t5mod, "FUSED_ENCODE_MIN_LEN", 4)
+        data, model, params, tok, _ = _setup()
+        hist = data["seq_items"][:8, :8]
+        plain = Retriever(model, params, tok).retrieve(hist)
+        kmodel = EncoderDecoderRetrievalModel(
+            replace(model.config, t5_fused_decode="interpret", t5_fused_encode="interpret")
+        )
+        sharded = Retriever(kmodel, params, tok, mesh=self._mesh()).retrieve(hist)
+        np.testing.assert_array_equal(np.asarray(plain.sem_ids), np.asarray(sharded.sem_ids))
+        np.testing.assert_array_equal(np.asarray(plain.item_ids), np.asarray(sharded.item_ids))
+
+    def test_sampled_mode_sharded_returns_valid_items(self):
+        from dataclasses import replace
+
+        data, model, params, tok, _ = _setup()
+        hist = data["seq_items"][:8, :8]
+        smodel = EncoderDecoderRetrievalModel(
+            replace(model.config, sample_candidates=True, n_candidates=8)
+        )
+        out = Retriever(smodel, params, tok, mesh=self._mesh(), seed=7).retrieve(hist)
+        cached = np.asarray(tok.cached_ids)
+        items = np.asarray(out.item_ids)
+        logp = np.asarray(out.log_probas)
+        assert ((items >= 0) == (logp > -1e8)).all()
+        for b in range(items.shape[0]):
+            for j in range(items.shape[1]):
+                if items[b, j] >= 0:
+                    np.testing.assert_array_equal(
+                        cached[items[b, j], :3], np.asarray(out.sem_ids[b, j])
+                    )

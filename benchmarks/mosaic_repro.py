@@ -479,6 +479,39 @@ CASES["enc_full"] = case_enc_full
 CASES["enc_full_short"] = lambda: case_enc_full(L=88, B=64)
 
 
+
+def case_mask_outer():
+    """Rank-1 batched-matmul mask materialization under a grid (the
+    encoder kernel's idiom: ones[bb,L,1] @ m[bb,1,L] -> [bb,L,L])."""
+    B, bb, L = 16, 8, 88
+    m = jnp.where(jnp.ones((B, 1, L)) > 0, 0.0, -1e9).astype(jnp.float32)
+    q = jnp.ones((B, L, DK), jnp.bfloat16)
+
+    def k(q_ref, m_ref, o_ref):
+        mterm = jax.lax.dot_general(
+            jnp.ones((bb, L, 1), jnp.float32), m_ref[...],
+            (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        )
+        s = jax.lax.dot_general(
+            q_ref[...], q_ref[...], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + mterm
+        o_ref[...] = jax.nn.softmax(s, axis=-1)
+
+    qspec = pl.BlockSpec((bb, L, DK), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((bb, 1, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((bb, L, L), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        k, grid=(B // bb,), in_specs=[qspec, mspec], out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((B, L, L), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(q, m)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+CASES["mask_outer"] = case_mask_outer
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(CASES)
     for n in names:

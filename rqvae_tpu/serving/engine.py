@@ -65,7 +65,10 @@ class RetrievalEngine:
             sorted(item_buckets) if item_buckets else _default_item_buckets(self.max_items)
         )
         assert self.item_buckets[-1] >= self.max_items, "largest item bucket must cover max_items"
-        self.batch_buckets = tuple(sorted(batch_buckets))
+        # a mesh-sharded Retriever needs every batch shape to divide the
+        # mesh axis (shard_map divisibility): round buckets up to multiples
+        m = getattr(retriever, "batch_multiple", 1)
+        self.batch_buckets = tuple(sorted({max(-(-b // m) * m, m) for b in batch_buckets}))
         # observability: how many batches ran at each (batch, items) shape
         self.shape_counts: dict = {}
 

@@ -179,6 +179,10 @@ class Retriever:
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        # shard_map needs the batch to divide the mesh axis exactly
+        self.batch_multiple = 1 if mesh is None else mesh.shape[mesh_axis]
         # sampled-candidate mode draws fresh Gumbel noise per retrieve()
         # call (reference: torch.multinomial per call, model.py:345); a
         # fixed seed makes serving reproducible end-to-end

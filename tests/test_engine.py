@@ -58,6 +58,29 @@ class TestEngineExactness:
         assert out.item_ids.shape == (1, 5)
         assert eng.shape_counts == {(4, 8): 1}
 
+    def test_mesh_sharded_engine_rounds_buckets_and_matches_direct(self):
+        """Engine over a mesh-sharded Retriever: batch buckets round up to
+        mesh-axis multiples (shard_map divisibility) and results still
+        equal the plain Retriever's."""
+        import jax
+        from jax.sharding import Mesh
+
+        data, model, params, tok, hist = _setup()
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        r_plain = Retriever(model, params, tok)
+        r_mesh = Retriever(model, params, tok, mesh=mesh)
+        eng = RetrievalEngine(r_mesh, max_items=8, batch_buckets=(1, 2, 4))
+        assert eng.batch_buckets == (8,)  # rounded up to the mesh size
+        requests = [hist[0][:3], hist[1][:8], hist[2][:5]]
+        out = eng.retrieve_many(requests)
+        assert out.item_ids.shape == (3, 5)
+        for i, h in enumerate(requests):
+            h = np.asarray(h, np.int32)
+            h = h[h >= 0]
+            direct = r_plain.retrieve(np.tile(np.pad(h, (0, 8 - len(h)), constant_values=-1)[None, :], (1, 1)))
+            np.testing.assert_array_equal(out.sem_ids[i], np.asarray(direct.sem_ids)[0])
+            np.testing.assert_array_equal(out.item_ids[i], np.asarray(direct.item_ids)[0])
+
     def test_truncation_keeps_most_recent(self):
         r, eng, hist = _mk(max_items=4)
         h = np.asarray(hist[1], np.int32)

@@ -37,6 +37,8 @@ class SemanticIdTokenizer:
         params,
         tokenize_batch_size: int = 8192,
         sharding: Optional[jax.sharding.Sharding] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,  # shard the index build over `mesh_axis`
+        mesh_axis: str = "data",
         use_pallas: Optional[bool] = None,  # None = auto (TPU + supported config)
         # bf16 matmuls by default: on v5e, f32 dots inside Pallas lower to
         # ~13x slower code; the corpus index is self-consistent as long as
@@ -47,6 +49,16 @@ class SemanticIdTokenizer:
         self.model = model
         self.params = params
         self.tokenize_batch_size = tokenize_batch_size
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None and sharding is None:
+            # corpus rows sharded over the mesh axis; the shard_map build
+            # runs the encode per-shard (Pallas eligible — a plain GSPMD
+            # jit would replicate a pallas_call) and only the O(N log N)
+            # dedup sort sees the gathered ids
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
         self.sharding = sharding
         self.cached_ids: Optional[jax.Array] = None  # [N, L+1]
         self._corpus_src = None  # host-array identity for device-corpus reuse
@@ -120,10 +132,9 @@ class SemanticIdTokenizer:
                 fused_encode_quantize,
             )
 
-        @jax.jit
-        def build(params, x):
+        def encode(params, x):
             if use_pallas:
-                ids = fused_encode_quantize(
+                return fused_encode_quantize(
                     x,
                     encoder_weights_from_params(params),
                     params["params"]["codebooks"],
@@ -131,15 +142,38 @@ class SemanticIdTokenizer:
                     block_rows=block,
                     precision=precision,
                     interpret=interpret,
-                )[:n]
-            else:
-                b = min(self.tokenize_batch_size, x.shape[0])
-                ids = jax.lax.map(
-                    lambda xc: model.apply(
-                        params, xc, training=False, method=RqVae.get_semantic_ids
-                    ).sem_ids,
-                    x.reshape(-1, b, x.shape[1]),
-                ).reshape(-1, cfg.n_layers)[:n]
+                )
+            b = min(self.tokenize_batch_size, x.shape[0])
+            return jax.lax.map(
+                lambda xc: model.apply(
+                    params, xc, training=False, method=RqVae.get_semantic_ids
+                ).sem_ids,
+                x.reshape(-1, b, x.shape[1]),
+            ).reshape(-1, cfg.n_layers)
+
+        if self.mesh is not None:
+            # per-shard encode: rows are independent, so the shard_map needs
+            # zero collectives and keeps the Pallas kernel per-device (the
+            # corpus was padded to a multiple of block * n_shards, so every
+            # shard sees whole blocks)
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            encode = shard_map(
+                encode,
+                mesh=self.mesh,
+                in_specs=(P(), P(self.mesh_axis)),
+                out_specs=P(self.mesh_axis),
+                check_vma=False,
+            )
+
+        @jax.jit
+        def build(params, x):
+            ids = encode(params, x)[:n]
             keys = pack_sem_id_tuples(ids, cfg.codebook_size)
             dedup = dedup_counts_from_keys(keys)
             return jnp.concatenate([ids, dedup[:, None].astype(ids.dtype)], axis=1)
@@ -151,7 +185,10 @@ class SemanticIdTokenizer:
         n = item_features.shape[0]
         # b512 measured ~6ms/65k items on v5e; b256 hits a slow Mosaic schedule
         block = 512 if self.use_pallas else min(self.tokenize_batch_size, n)
-        x = self._device_corpus(item_features, block)
+        # mesh build: every shard must see whole blocks (shard_map splits
+        # the leading axis evenly over the mesh axis)
+        n_shards = 1 if self.mesh is None else self.mesh.shape[self.mesh_axis]
+        x = self._device_corpus(item_features, block * n_shards)
         cache_key = (n, block, x.shape[1])
         if getattr(self, "_build_cache_key", None) != cache_key:
             self._build_index = self._build_index_fn(n, block)

@@ -56,6 +56,26 @@ class TestPrecompute:
         cached2 = np.asarray(tok2.precompute_corpus_ids(data["item_features"]))
         np.testing.assert_array_equal(cached, cached2)
 
+    def test_mesh_sharded_build_matches_unsharded(self):
+        """Index build over a device mesh (per-shard encode via shard_map,
+        global dedup) must equal the single-device build — both the XLA
+        lax.map path and the Pallas kernel (interpret on CPU)."""
+        from jax.sharding import Mesh
+
+        data, model, params, tok = _setup()
+        base = np.asarray(tok.precompute_corpus_ids(data["item_features"]))
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        tok_mesh = SemanticIdTokenizer(model, params, tokenize_batch_size=128, mesh=mesh)
+        got = np.asarray(tok_mesh.precompute_corpus_ids(data["item_features"]))
+        np.testing.assert_array_equal(base, got)
+
+        tok_pl = SemanticIdTokenizer(
+            model, params, tokenize_batch_size=128, mesh=mesh,
+            use_pallas=True, pallas_precision="f32",
+        )
+        got_pl = np.asarray(tok_pl.precompute_corpus_ids(data["item_features"]))
+        np.testing.assert_array_equal(base, got_pl)
+
     def test_dedup_column_oracle(self):
         data, model, params, tok = _setup()
         cached = np.asarray(tok.precompute_corpus_ids(data["item_features"]))

@@ -1,0 +1,118 @@
+"""Async micro-batching queue tests: submit() must return exactly what the
+batch engine would, batching must coalesce, and the delay bound must flush
+a lone request."""
+
+import time
+
+import numpy as np
+
+from rqvae_tpu.serving.engine import RetrievalEngine
+from rqvae_tpu.serving.queue import AsyncRetrievalEngine
+from rqvae_tpu.serving.retriever import Retriever
+
+from tests.test_retriever import _setup
+
+
+def _mk(batch_buckets=(1, 2, 4), max_items=8, **kw):
+    data, model, params, tok, hist = _setup()
+    r = Retriever(model, params, tok)
+    eng = RetrievalEngine(r, max_items=max_items, batch_buckets=batch_buckets)
+    return r, eng, AsyncRetrievalEngine(eng, **kw), hist
+
+
+class TestManualFlush:
+    def test_submit_matches_retrieve_many(self):
+        """Deterministic (manual-flush) coalescing: per-request futures
+        resolve to the engine's own rows."""
+        r, eng, q, hist = _mk(autostart=False)
+        requests = [hist[0][:3], hist[1][:8], hist[2][:5], hist[3][:2], hist[4][:8]]
+        requests = [np.asarray(h, np.int32)[np.asarray(h) >= 0] for h in requests]
+        futs = [q.submit(h, uid) for uid, h in enumerate(requests)]
+        assert not any(f.done() for f in futs)
+        assert q.flush() == 5
+        expected = eng.retrieve_many(requests, list(range(5)))
+        for i, f in enumerate(futs):
+            res = f.result(timeout=0)
+            np.testing.assert_array_equal(res.sem_ids, expected.sem_ids[i])
+            np.testing.assert_array_equal(res.item_ids, expected.item_ids[i])
+            # queue cuts batches by arrival (4 then 1) while the direct call
+            # groups all 5 -> different batch-bucket shapes, so float
+            # reductions may reassociate (ids stay exact, as in test_engine)
+            np.testing.assert_allclose(
+                res.log_probas, expected.log_probas[i], rtol=1e-4, atol=1e-5
+            )
+
+    def test_coalescing_respects_batch_cap(self):
+        """6 queued requests with cap 4 -> flushes of 4 then 2."""
+        _, eng, q, hist = _mk(batch_buckets=(1, 2, 4), autostart=False)
+        h = np.asarray(hist[0][:4], np.int32)
+        futs = [q.submit(h) for _ in range(6)]
+        assert q.flush() == 6
+        assert q.flushes == 2
+        for f in futs:
+            assert f.result(timeout=0).item_ids.shape == (5,)
+
+    def test_close_drains_without_worker(self):
+        _, _, q, hist = _mk(autostart=False)
+        fut = q.submit(np.asarray(hist[0][:4], np.int32))
+        q.close()
+        assert fut.result(timeout=0).item_ids.shape == (5,)
+        try:
+            q.submit(np.asarray(hist[0][:4], np.int32))
+            raise AssertionError("submit after close must raise")
+        except RuntimeError:
+            pass
+
+
+class TestWorkerThread:
+    def test_delay_flushes_lone_request(self):
+        """A single request must be served within the delay bound without
+        ever filling a batch bucket."""
+        _, _, q, hist = _mk(max_delay_ms=20.0)
+        with q:
+            fut = q.submit(np.asarray(hist[0][:4], np.int32))
+            res = fut.result(timeout=30)  # generous: CPU compile on first run
+            assert res.item_ids.shape == (5,)
+        assert q.flushes == 1
+
+    def test_burst_coalesces(self):
+        """A burst submitted while the worker waits out the delay window
+        lands in fewer flushes than requests."""
+        _, eng, q, hist = _mk(max_delay_ms=500.0)
+        # warm the (4, 8) program so dispatch is instant relative to the window
+        eng.warmup()
+        with q:
+            h = np.asarray(hist[0][:4], np.int32)
+            futs = [q.submit(h, uid) for uid in range(4)]
+            for f in futs:
+                assert f.result(timeout=30).item_ids.shape == (5,)
+        # cap = 4: the 4-burst should cut at most 2 batches even if the
+        # worker raced the first submit
+        assert q.flushes <= 2
+        assert q.requests == 4
+
+    def test_sustained_traffic(self):
+        """Steady submits through the live worker all resolve correctly
+        and match a direct engine run request-by-request."""
+        _, eng, q, hist = _mk(max_delay_ms=5.0)
+        reqs = [np.asarray(hist[i % len(hist)][: 2 + i % 7], np.int32) for i in range(12)]
+        reqs = [h[h >= 0] for h in reqs]
+        with q:
+            futs = [q.submit(h, uid) for uid, h in enumerate(reqs)]
+            results = [f.result(timeout=60) for f in futs]
+        for uid, (h, res) in enumerate(zip(reqs, results)):
+            direct = eng.retrieve_many([h], [uid])
+            np.testing.assert_array_equal(res.sem_ids, direct.sem_ids[0])
+            np.testing.assert_array_equal(res.item_ids, direct.item_ids[0])
+
+    def test_exception_propagates(self):
+        """Engine failures resolve futures exceptionally instead of hanging."""
+        _, eng, q, _ = _mk(autostart=False)
+        fut = q.submit(np.asarray([0, 1], np.int32))
+        eng.retriever = None  # force an AttributeError inside the flush
+        q.flush()
+        try:
+            fut.result(timeout=0)
+            raise AssertionError("future should carry the engine failure")
+        except AttributeError:
+            pass

@@ -97,6 +97,26 @@ def main(workdir: str | None = None, small: bool = True) -> None:
               f"-> top-5 items {list(np.asarray(result.item_ids[b])[:5])} "
               f"(target was {int(batch.ids_fut[b])})")
 
+    # ---- production front end: shape buckets + async micro-batching ---------
+    # RetrievalEngine pins every request to a static (batch, items) bucket
+    # shape (one cached XLA program each — steady-state serving never
+    # recompiles); AsyncRetrievalEngine turns it into a service: submit()
+    # returns a Future, a worker thread coalesces concurrent requests into
+    # shared TPU dispatches (flush on bucket-fill or max_delay_ms).
+    from rqvae_tpu.serving.engine import RetrievalEngine
+    from rqvae_tpu.serving.queue import AsyncRetrievalEngine
+
+    engine = RetrievalEngine(retriever, max_items=int(batch.ids.shape[1]))
+    with AsyncRetrievalEngine(engine, max_delay_ms=5.0) as service:
+        futures = [
+            service.submit(np.asarray(batch.ids[b])[np.asarray(batch.ids[b]) >= 0],
+                           int(batch.user_ids[b]))
+            for b in range(4)
+        ]
+        served = [f.result(timeout=120) for f in futures]
+    print(f"async service: {len(served)} requests in {service.flushes} TPU "
+          f"flush(es); top-1 items {[int(s.item_ids[0]) for s in served]}")
+
 
 if __name__ == "__main__":
     main()

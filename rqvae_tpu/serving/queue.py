@@ -163,9 +163,12 @@ class AsyncRetrievalEngine:
                 if self._shutdown:
                     break
                 # batch is full -> cut now; otherwise wait out the oldest
-                # request's delay budget, waking early if the cap fills
+                # request's delay budget, waking early if the cap fills.
+                # Re-check `self._pending` each wake: a concurrent manual
+                # flush() may have drained the queue (then _oldest is None).
                 while (
-                    len(self._pending) < self._cap
+                    self._pending
+                    and len(self._pending) < self._cap
                     and not self._shutdown
                     and (left := self._oldest + self.max_delay - time.monotonic()) > 0
                 ):

@@ -116,3 +116,17 @@ class TestWorkerThread:
             raise AssertionError("future should carry the engine failure")
         except AttributeError:
             pass
+
+    def test_worker_survives_concurrent_manual_flush(self):
+        """A manual flush() that drains the queue while the worker sits in
+        its delay wait must not kill the worker (regression: the wake-up
+        re-evaluation read self._oldest, which the flush reset to None)."""
+        _, eng, q, hist = _mk(max_delay_ms=200.0)
+        with q:
+            f1 = q.submit(np.asarray([0, 1], np.int32))
+            time.sleep(0.05)  # worker is now waiting out the delay budget
+            q.flush()  # drain from the caller's thread
+            assert f1.result(timeout=5) is not None
+            time.sleep(0.3)  # let the worker wake from its stale timeout
+            f2 = q.submit(np.asarray([2, 3], np.int32))
+            assert f2.result(timeout=5) is not None  # worker still alive

@@ -117,6 +117,23 @@ def main(workdir: str | None = None, small: bool = True) -> None:
     print(f"async service: {len(served)} requests in {service.flushes} TPU "
           f"flush(es); top-1 items {[int(s.item_ids[0]) for s in served]}")
 
+    # ---- live catalog growth: admit new items without a rebuild -------------
+    # Build the index over part of the catalog with headroom (capacity), then
+    # extend_corpus() tokenizes the late arrivals with the frozen RQ-VAE and
+    # splices them into the serving tables at static shapes — the compiled
+    # query program is untouched (dedup semantics exactly match a rebuild).
+    grow = Retriever.from_checkpoints(
+        s1["checkpoint_path"], s2["checkpoint_path"], feats[:-16],
+        capacity=len(feats),
+    )
+    grow.retrieve(np.asarray(batch.ids), np.asarray(batch.user_ids))  # compile
+    programs = int(grow._query._cache_size())
+    grow.extend_corpus(feats[-16:])
+    grown = grow.retrieve(np.asarray(batch.ids), np.asarray(batch.user_ids))
+    assert int(grow._query._cache_size()) == programs, "extension must not recompile"
+    print(f"live extension: corpus {len(feats) - 16} -> {grow.n_items} items, "
+          f"0 recompiles; top-1 now {[int(i) for i in np.asarray(grown.item_ids)[:, 0]]}")
+
 
 if __name__ == "__main__":
     main()

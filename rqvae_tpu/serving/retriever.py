@@ -9,6 +9,13 @@ corpus item, i.e. dedup column 0).
 
 The whole query path is jit-compiled: cached-table tokenization ->
 encoder -> L-level constrained beam search -> inverse lookup.
+
+Live catalog growth: construct with `capacity=<max corpus size>` and call
+`extend_corpus(new_features)` to admit new items into serving — every
+corpus-sized array is capacity-padded to a STATIC shape and passed to the
+query program as an argument, so admission never recompiles anything on
+the serving path (tests/test_corpus_extension.py). The reference can only
+rebuild its index from scratch (semids.py:76-110).
 """
 
 from __future__ import annotations
@@ -22,7 +29,7 @@ import numpy as np
 from rqvae_tpu.data.schemas import SeqBatch
 from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
 from rqvae_tpu.ops.dedup import pack_sem_id_tuples
-from rqvae_tpu.serving.beam import build_prefix_table
+from rqvae_tpu.serving.beam import build_prefix_table, extend_prefix_table
 from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
 
 
@@ -116,6 +123,7 @@ class Retriever:
         decoder_checkpoint: str,
         item_features,
         tokenize_batch_size: int = 8192,
+        capacity: Optional[int] = None,
     ) -> "Retriever":
         """Load both stage checkpoints, build the corpus index, and return
         a ready-to-serve retriever."""
@@ -163,7 +171,7 @@ class Retriever:
         params = ckpt_lib.load_checkpoint(decoder_checkpoint, params_template=dec_template)[
             "params"
         ]
-        return cls(model, params, tokenizer)
+        return cls(model, params, tokenizer, capacity=capacity)
 
     def __init__(
         self,
@@ -173,6 +181,7 @@ class Retriever:
         seed: Optional[int] = None,
         mesh=None,  # jax.sharding.Mesh: shard the query batch over `mesh_axis`
         mesh_axis: str = "data",
+        capacity: Optional[int] = None,  # max corpus size served; enables extend_corpus
     ):
         if tokenizer.cached_ids is None:
             raise ValueError("Tokenizer has no corpus index; call precompute_corpus_ids first")
@@ -192,16 +201,13 @@ class Retriever:
 
         L = model.config.num_hierarchies
         K = model.config.codebook_size
-        corpus_ids = tokenizer.cached_ids[:, :L]
-        self.prefix_table = build_prefix_table(corpus_ids, K)
-
-        keys = pack_sem_id_tuples(corpus_ids, K)
-        order = jnp.argsort(keys, stable=True)  # earliest corpus item first per tuple
-        self._sorted_keys = keys[order]
-        self._sorted_items = order.astype(jnp.int32)
-
-        sorted_keys, sorted_items = self._sorted_keys, self._sorted_items
-        prefix_table = self.prefix_table
+        self._n_items = tokenizer.cached_ids.shape[0]
+        # capacity-padded STATIC shapes: extend_corpus can admit items up to
+        # `capacity` without any serving-path recompile (all corpus-sized
+        # arrays are jit ARGUMENTS below, never closure constants)
+        self.capacity = self._n_items if capacity is None else int(capacity)
+        assert self.capacity >= self._n_items, "capacity below current corpus size"
+        self._rebuild_corpus_state()
 
         if mesh is not None:
             # scale-out serving: batch-sharded generate with the Pallas
@@ -209,21 +215,19 @@ class Retriever:
             # so the shard_map needs zero collectives); the searchsorted
             # inverse lookup below stays in the outer jit — it's a plain
             # gather, GSPMD-friendly
-            sharded_gen = make_shardmap_generate(model, mesh, mesh_axis)
-
-            def run_gen(params, sem_ids, seq_mask, user_ids, rng):
-                return sharded_gen(params, sem_ids, seq_mask, user_ids, prefix_table, rng)
+            run_gen = make_shardmap_generate(model, mesh, mesh_axis)
         else:
 
-            def run_gen(params, sem_ids, seq_mask, user_ids, rng):
+            def run_gen(params, sem_ids, seq_mask, user_ids, prefix_table, rng):
                 return model.apply(
                     params, sem_ids, seq_mask, user_ids, prefix_table, rng,
                     method=EncoderDecoderRetrievalModel.generate,
                 )
 
         @jax.jit
-        def _query(params, sem_ids, seq_mask, user_ids, rng):
-            gen = run_gen(params, sem_ids, seq_mask, user_ids, rng)
+        def _query(params, sem_ids, seq_mask, user_ids, rng,
+                   prefix_table, sorted_keys, sorted_items):
+            gen = run_gen(params, sem_ids, seq_mask, user_ids, prefix_table, rng)
             tuple_keys = pack_sem_id_tuples(gen.sem_ids, K)  # [B, k]
             idx = jnp.clip(
                 jnp.searchsorted(sorted_keys, tuple_keys, side="left"),
@@ -235,6 +239,86 @@ class Retriever:
             return RetrievalResult(item_ids=items, sem_ids=gen.sem_ids, log_probas=gen.log_probas)
 
         self._query = _query
+
+    def _rebuild_corpus_state(self) -> None:
+        """(Re)derive all capacity-padded corpus-indexed state from the
+        tokenizer's cached_ids: the tokenize lookup table, the prefix trie,
+        and the tuple-key -> earliest-item inverse lookup."""
+        L = self.model.config.num_hierarchies
+        K = self.model.config.codebook_size
+        cached = self.tokenizer.cached_ids
+        n, D = cached.shape
+        cap = self.capacity
+        self.prefix_table = build_prefix_table(cached[:, :L], K, capacity=cap)
+        # tokenize table: pad rows are all-zero and only reachable by item
+        # ids >= n_items, which callers must not send before admitting them
+        self._table = jnp.zeros((cap, D), cached.dtype).at[:n].set(cached)
+        # corpus-order packed keys, sentinel-padded (sentinel = dtype max:
+        # sorts last, never equals a valid key — see serving/beam.py)
+        keys = pack_sem_id_tuples(cached[:, :L], K)
+        from rqvae_tpu.serving.beam import _sentinel
+
+        self._sentinel = _sentinel(keys.dtype)
+        self._keys_cap = jnp.full((cap,), self._sentinel, keys.dtype).at[:n].set(keys)
+        self._resort_inverse()
+
+    def _resort_inverse(self) -> None:
+        """sorted (key, earliest item) view of _keys_cap; stable argsort
+        keeps corpus order as the tiebreaker, so duplicate tuples resolve
+        to the earliest item (dedup column 0), like the reference's
+        exhaustive compare would."""
+        order = jnp.argsort(self._keys_cap, stable=True)
+        self._sorted_keys = self._keys_cap[order]
+        self._sorted_items = jnp.where(
+            self._sorted_keys != self._sentinel, order, -1
+        ).astype(jnp.int32)
+
+    @property
+    def n_items(self) -> int:
+        """Items currently admitted (corpus ids [0, n_items) are servable)."""
+        return self._n_items
+
+    def extend_corpus(self, new_features) -> int:
+        """Admit new catalog items into live serving: tokenize them with
+        the frozen RQ-VAE, extend the dedup'd ID table (exact full-rebuild
+        semantics — tokenizer.extend_corpus_ids), and update the serving
+        index IN PLACE at static shapes, so no serving program recompiles
+        (locked by tests/test_corpus_extension.py). The reference can only
+        rebuild its index from scratch between training runs.
+
+        Update order matters for concurrent serving (serving/queue.py runs
+        retrieve() on a worker thread): (1) tokenize table, (2) inverse
+        item lookup, (3) prefix trie LAST — the trie is what admits new
+        tuples into generation, so a query racing the update sees either
+        the old corpus or a fully consistent new one, never a beam it
+        cannot map back to an item.
+
+        Returns the new corpus size."""
+        assert self.tokenizer.mesh is None, (
+            "extend_corpus with a mesh-sharded tokenizer build is not supported"
+        )
+        new_rows = self.tokenizer.extend_corpus_ids(new_features)
+        m = new_rows.shape[0]
+        n_old, n_new = self._n_items, self._n_items + m
+        if n_new > self.capacity:
+            raise ValueError(
+                f"corpus extension to {n_new} items exceeds capacity "
+                f"{self.capacity}; rebuild the Retriever with more headroom"
+            )
+        L = self.model.config.num_hierarchies
+        K = self.model.config.codebook_size
+        # (1) histories containing the new item ids tokenize correctly
+        self._table = self._table.at[n_old:n_new].set(new_rows)
+        # (2) generated tuples map back to items (new tuples unreachable yet)
+        new_keys = pack_sem_id_tuples(new_rows[:, :L], K)
+        self._keys_cap = self._keys_cap.at[n_old:n_new].set(new_keys)
+        self._resort_inverse()
+        # (3) admit the new tuples into constrained generation
+        self.prefix_table = extend_prefix_table(
+            self.prefix_table, new_rows[:, :L], K, n_valid_old=n_old
+        )
+        self._n_items = n_new
+        return n_new
 
     def retrieve(
         self,
@@ -254,9 +338,18 @@ class Retriever:
             x_fut=jnp.zeros((B, 0)),
             seq_mask=hist >= 0,
         )
-        tok = self.tokenizer(batch)
+        # tokenize against the capacity-padded table (NOT tokenizer.__call__,
+        # whose program would recompile when extend_corpus grows cached_ids)
+        from rqvae_tpu.tokenizer.semids import _tokenize_from_cache
+
+        tok = _tokenize_from_cache(
+            self._table, batch.user_ids, batch.ids, batch.ids_fut, batch.seq_mask
+        )
         if self.model.config.sample_candidates and rng is None:
             # advance internal state: each call must sample fresh noise
             # (a fixed key would silently freeze the candidate sets)
             self._rng, rng = jax.random.split(self._rng)
-        return self._query(self.params, tok.sem_ids, tok.seq_mask, tok.user_ids, rng)
+        return self._query(
+            self.params, tok.sem_ids, tok.seq_mask, tok.user_ids, rng,
+            self.prefix_table, self._sorted_keys, self._sorted_items,
+        )

@@ -196,6 +196,62 @@ class SemanticIdTokenizer:
         self.cached_ids = self._build_index(self.params, x)
         return self.cached_ids
 
+    def extend_corpus_ids(self, new_features: np.ndarray) -> jax.Array:
+        """Admit new items into an existing corpus index (live catalog
+        growth — no reference counterpart: /root/reference's tokenizer only
+        rebuilds from scratch, semids.py:76-110). Appends [M, L+1] rows to
+        `cached_ids` whose dedup column matches a full rebuild EXACTLY:
+        dedup[i] = (# existing corpus items with the same tuple)
+                 + (# earlier items within this extension with the same
+                    tuple), i.e. the reference's order-dependent count with
+        the existing corpus as the prefix. Returns the new rows.
+
+        The encode runs on the default device (a mesh-sharded build is for
+        full-corpus throughput; extensions are small). One jitted program
+        per (n_old, M) shape pair — extension-time compiles are fine, the
+        SERVING path stays compiled (see serving/retriever.py::extend_corpus).
+        """
+        if self.cached_ids is None:
+            raise RuntimeError("extend_corpus_ids needs an existing index; "
+                               "call precompute_corpus_ids first")
+        new_features = np.asarray(new_features, np.float32)
+        m = new_features.shape[0]
+        cfg = self.model.config
+        L = cfg.n_layers
+        block = 512 if self.use_pallas else min(self.tokenize_batch_size, m)
+        m_pad = (m + block - 1) // block * block
+        x = np.zeros((m_pad, new_features.shape[1]), np.float32)
+        x[:m] = new_features
+
+        cache_key = (self.cached_ids.shape[0], m, m_pad, block, x.shape[1])
+        if getattr(self, "_extend_cache_key", None) != cache_key:
+            build_one = self._build_index_fn_unsharded(m, block)
+
+            @jax.jit
+            def extend(params, x_new, old_ids):
+                rows = build_one(params, x_new)  # [M, L+1]: ids + WITHIN-batch dedup
+                keys = pack_sem_id_tuples(rows[:, :L], cfg.codebook_size)
+                old_sorted = jnp.sort(pack_sem_id_tuples(old_ids[:, :L], cfg.codebook_size))
+                lo = jnp.searchsorted(old_sorted, keys, side="left")
+                hi = jnp.searchsorted(old_sorted, keys, side="right")
+                dedup = rows[:, L] + (hi - lo).astype(rows.dtype)
+                return jnp.concatenate([rows[:, :L], dedup[:, None]], axis=1)
+
+            self._extend_index = extend
+            self._extend_cache_key = cache_key
+        new_rows = self._extend_index(self.params, jnp.asarray(x), self.cached_ids)
+        self.cached_ids = jnp.concatenate([self.cached_ids, new_rows], axis=0)
+        return new_rows
+
+    def _build_index_fn_unsharded(self, n: int, block: int):
+        """The single-device build program (encode -> pack -> dedup ->
+        concat), regardless of any mesh configured for full-corpus builds."""
+        mesh, self.mesh = self.mesh, None
+        try:
+            return self._build_index_fn(n, block)
+        finally:
+            self.mesh = mesh
+
     def __call__(self, batch: SeqBatch) -> TokenizedSeqBatch:
         """Tokenize a sequence batch by cached-table lookup (semids.py:119-146)."""
         if self.cached_ids is None:

@@ -1,0 +1,230 @@
+"""Live corpus extension: new items admitted into the semantic-ID index
+and the serving path without recompiles, with dedup-column semantics
+exactly matching a full rebuild (the reference can only rebuild from
+scratch, /root/reference/modules/tokenizer/semids.py:76-110)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data.synthetic import SyntheticConfig, generate
+from rqvae_tpu.models.quantize import QuantizeForwardMode
+from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel, RetrievalConfig
+from rqvae_tpu.models.rqvae import RqVae, RqVaeConfig, kmeans_init_codebooks
+from rqvae_tpu.ops.dedup import pack_sem_id_tuples
+from rqvae_tpu.serving.beam import (
+    build_prefix_table,
+    extend_prefix_table,
+    valid_children,
+)
+from rqvae_tpu.serving.retriever import Retriever
+from rqvae_tpu.tokenizer.semids import SemanticIdTokenizer
+
+N, N_OLD = 200, 128
+
+
+def _features():
+    data = generate(SyntheticConfig(n_items=N, n_users=20, input_dim=16, max_seq_len=8, seed=9))
+    feats = np.asarray(data["item_features"], np.float32).copy()
+    # engineered duplicate tuples (identical features => identical ids):
+    feats[100] = feats[5]  # old dup of old
+    feats[150] = feats[10]  # new dup of old
+    feats[185] = feats[10]  # second new dup of the same old tuple
+    feats[190] = feats[160]  # new dup of new
+    return data, feats
+
+
+def _vae(feats):
+    cfg = RqVaeConfig(
+        input_dim=16, embed_dim=8, hidden_dims=(16,), codebook_size=8, n_layers=3,
+        n_cat_feats=0, codebook_mode=QuantizeForwardMode.STE,
+    )
+    rq = RqVae(cfg)
+    x0 = jnp.asarray(feats[:64])
+    p = rq.init({"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+                x0, 0.2, training=True)
+    return rq, kmeans_init_codebooks(jax.random.PRNGKey(2), rq, p, x0)
+
+
+class TestTokenizerExtension:
+    def test_extension_matches_full_rebuild(self):
+        _, feats = _features()
+        rq, rq_params = _vae(feats)
+
+        full = SemanticIdTokenizer(rq, rq_params)
+        full.precompute_corpus_ids(feats)
+
+        grown = SemanticIdTokenizer(rq, rq_params)
+        grown.precompute_corpus_ids(feats[:N_OLD])
+        new_rows = grown.extend_corpus_ids(feats[N_OLD:])
+
+        np.testing.assert_array_equal(np.asarray(grown.cached_ids), np.asarray(full.cached_ids))
+        np.testing.assert_array_equal(np.asarray(new_rows), np.asarray(full.cached_ids)[N_OLD:])
+        # the engineered duplicates actually exercised the dedup column
+        dedup = np.asarray(full.cached_ids)[:, -1]
+        assert dedup[100] >= 1 and dedup[150] >= 1 and dedup[185] >= 2 and dedup[190] >= 1
+
+    def test_two_step_extension(self):
+        """Repeated extensions accumulate correctly (old counts include
+        everything admitted so far)."""
+        _, feats = _features()
+        rq, rq_params = _vae(feats)
+        full = SemanticIdTokenizer(rq, rq_params)
+        full.precompute_corpus_ids(feats)
+        grown = SemanticIdTokenizer(rq, rq_params)
+        grown.precompute_corpus_ids(feats[:N_OLD])
+        grown.extend_corpus_ids(feats[N_OLD:170])
+        grown.extend_corpus_ids(feats[170:])
+        np.testing.assert_array_equal(np.asarray(grown.cached_ids), np.asarray(full.cached_ids))
+
+    def test_extend_requires_index(self):
+        _, feats = _features()
+        rq, rq_params = _vae(feats)
+        tok = SemanticIdTokenizer(rq, rq_params)
+        try:
+            tok.extend_corpus_ids(feats[:4])
+            raise AssertionError("should require an existing index")
+        except RuntimeError:
+            pass
+
+
+class TestPrefixTableExtension:
+    def _ids(self):
+        _, feats = _features()
+        rq, rq_params = _vae(feats)
+        tok = SemanticIdTokenizer(rq, rq_params)
+        tok.precompute_corpus_ids(feats)
+        return np.asarray(tok.cached_ids)[:, :3]
+
+    def _assert_tables_equivalent(self, a, b, ids):
+        """Same validity answers for every level on parent keys drawn from
+        the corpus plus random (mostly invalid) ones."""
+        rng = np.random.RandomState(0)
+        for h in range(3):
+            corpus_parents = pack_sem_id_tuples(jnp.asarray(ids[:, :h]), 8) if h else jnp.zeros(
+                (ids.shape[0],), jnp.int32
+            )
+            random_parents = jnp.asarray(rng.randint(0, 8**h if h else 1, size=64), jnp.int32)
+            for parents in (corpus_parents, random_parents):
+                np.testing.assert_array_equal(
+                    np.asarray(valid_children(a, h, parents)),
+                    np.asarray(valid_children(b, h, parents)),
+                )
+
+    def test_dense_extension(self):
+        ids = self._ids()
+        full = build_prefix_table(jnp.asarray(ids), 8)
+        grown = build_prefix_table(jnp.asarray(ids[:N_OLD]), 8)
+        grown = extend_prefix_table(grown, jnp.asarray(ids[N_OLD:]), 8, n_valid_old=N_OLD)
+        self._assert_tables_equivalent(grown, full, ids)
+
+    def test_sorted_level_extension_under_capacity(self):
+        """dense_limit=1 forces every level onto the sorted-key (capacity
+        padded) representation."""
+        ids = self._ids()
+        full = build_prefix_table(jnp.asarray(ids), 8, dense_limit=1, capacity=N)
+        grown = build_prefix_table(jnp.asarray(ids[:N_OLD]), 8, dense_limit=1, capacity=N)
+        assert all(t.shape == (N,) for t in grown.level_keys)
+        grown = extend_prefix_table(grown, jnp.asarray(ids[N_OLD:]), 8, n_valid_old=N_OLD)
+        self._assert_tables_equivalent(grown, full, ids)
+
+    def test_capacity_overflow_raises(self):
+        ids = self._ids()
+        grown = build_prefix_table(jnp.asarray(ids[:N_OLD]), 8, dense_limit=1, capacity=N_OLD + 4)
+        try:
+            extend_prefix_table(grown, jnp.asarray(ids[N_OLD:]), 8, n_valid_old=N_OLD)
+            raise AssertionError("should exceed capacity")
+        except AssertionError as e:
+            assert "capacity" in str(e)
+
+
+class TestRetrieverExtension:
+    def _retrievers(self):
+        data, feats = _features()
+        rq, rq_params = _vae(feats)
+
+        cfg = RetrievalConfig(
+            num_hierarchies=3, codebook_size=8, t5_d_model=32, t5_d_kv=8,
+            t5_num_heads=4, t5_d_ff=64, t5_num_layers=1, t5_dropout=0.0,
+            top_k_for_generation=5,
+        )
+        model = EncoderDecoderRetrievalModel(cfg)
+
+        tok_full = SemanticIdTokenizer(rq, rq_params)
+        tok_full.precompute_corpus_ids(feats)
+        from rqvae_tpu.data.schemas import SeqBatch
+
+        hist = np.asarray(data["seq_items"][:6, :8])
+        batch = SeqBatch(
+            user_ids=jnp.zeros(6, jnp.int32), ids=jnp.asarray(hist),
+            ids_fut=jnp.zeros(6, jnp.int32), x=jnp.zeros((6, 0, 0)),
+            x_fut=jnp.zeros((6, 0)), seq_mask=jnp.asarray(hist >= 0),
+        )
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            tok_full(batch), training=True,
+        )
+
+        tok_grown = SemanticIdTokenizer(rq, rq_params)
+        tok_grown.precompute_corpus_ids(feats[:N_OLD])
+        r_grown = Retriever(model, params, tok_grown, capacity=N)
+        r_full = Retriever(model, params, tok_full)
+        return feats, hist, r_grown, r_full
+
+    def test_extension_serves_identically_without_recompile(self):
+        feats, hist, r_grown, r_full = self._retrievers()
+        from rqvae_tpu.tokenizer.semids import _tokenize_from_cache
+
+        # histories over OLD items only (valid pre-extension)
+        old_hist = np.where(hist < N_OLD, hist, -1)
+        pre = r_grown.retrieve(old_hist)
+        assert int(r_grown._query._cache_size()) == 1
+        tok_cache = int(_tokenize_from_cache._cache_size())
+
+        assert r_grown.extend_corpus(feats[N_OLD:]) == N
+        assert r_grown.n_items == N
+
+        # same query after extension: serving program NOT recompiled
+        post = r_grown.retrieve(old_hist)
+        assert int(r_grown._query._cache_size()) == 1
+        assert int(_tokenize_from_cache._cache_size()) == tok_cache
+
+        # and the results agree with a from-scratch retriever over all N
+        ref = r_full.retrieve(old_hist)
+        np.testing.assert_array_equal(np.asarray(post.sem_ids), np.asarray(ref.sem_ids))
+        np.testing.assert_array_equal(np.asarray(post.item_ids), np.asarray(ref.item_ids))
+
+        # histories REFERENCING NEW ITEMS tokenize + serve identically too
+        res_g = r_grown.retrieve(hist)
+        res_f = r_full.retrieve(hist)
+        np.testing.assert_array_equal(np.asarray(res_g.sem_ids), np.asarray(res_f.sem_ids))
+        np.testing.assert_array_equal(np.asarray(res_g.item_ids), np.asarray(res_f.item_ids))
+        # the pre-extension answer differs (new tuples were not servable):
+        # sanity that the extension actually changed reachable outputs for
+        # at least one query is NOT guaranteed on a tiny corpus, so only
+        # check shapes here
+        assert np.asarray(pre.item_ids).shape == np.asarray(post.item_ids).shape
+
+    def test_extension_through_the_engine(self):
+        """The bucketed engine serves requests referencing newly admitted
+        items right after extend_corpus (no engine rebuild needed)."""
+        from rqvae_tpu.serving.engine import RetrievalEngine
+
+        feats, hist, r_grown, r_full = self._retrievers()
+        eng = RetrievalEngine(r_grown, max_items=8, batch_buckets=(1, 2, 4))
+        r_grown.extend_corpus(feats[N_OLD:])
+        reqs = [np.asarray(h, np.int32)[np.asarray(h) >= 0] for h in hist[:3]]
+        reqs.append(np.asarray([N_OLD, N_OLD + 5, 3], np.int32))  # touches new items
+        got = eng.retrieve_many(reqs)
+        want = RetrievalEngine(r_full, max_items=8, batch_buckets=(1, 2, 4)).retrieve_many(reqs)
+        np.testing.assert_array_equal(np.asarray(got.sem_ids), np.asarray(want.sem_ids))
+        np.testing.assert_array_equal(np.asarray(got.item_ids), np.asarray(want.item_ids))
+
+    def test_capacity_exceeded_raises(self):
+        feats, hist, r_grown, _ = self._retrievers()
+        r_grown.extend_corpus(feats[N_OLD : N - 8])
+        try:
+            r_grown.extend_corpus(np.concatenate([feats[N - 8 :], feats[:8]]))
+            raise AssertionError("should exceed capacity")
+        except ValueError as e:
+            assert "capacity" in str(e)

@@ -42,7 +42,9 @@ def _run_parity(tmp_path, dataset, writer, extra_sets):
     ]
     for s in extra_sets:
         cmd += ["--set", s]
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=560, env=env)
+    # generous cap: the chain takes ~2-4 min alone but shares one core with
+    # whatever else runs on a loaded box (observed >560 s under 3-way load)
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=1500, env=env)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
     with open(out_json) as f:
         result = json.load(f)

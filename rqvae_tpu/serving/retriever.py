@@ -124,9 +124,15 @@ class Retriever:
         item_features,
         tokenize_batch_size: int = 8192,
         capacity: Optional[int] = None,
+        index_path: Optional[str] = None,
     ) -> "Retriever":
         """Load both stage checkpoints, build the corpus index, and return
-        a ready-to-serve retriever."""
+        a ready-to-serve retriever.
+
+        `index_path`: persisted corpus index (SemanticIdTokenizer.save_index).
+        If it exists, startup skips the full-corpus tokenization (the file is
+        fingerprint-checked against the RQ-VAE); otherwise the index is built
+        and saved there for the next start."""
         import jax as _jax
         import numpy as _np
 
@@ -147,8 +153,15 @@ class Retriever:
             training=True,
         )
         rq_params = ckpt_lib.load_checkpoint(rqvae_checkpoint, params_template=template)["params"]
+        import os as _os
+
         tokenizer = SemanticIdTokenizer(rq_model, rq_params, tokenize_batch_size=tokenize_batch_size)
-        tokenizer.precompute_corpus_ids(np.asarray(item_features))
+        if index_path is not None and _os.path.exists(index_path):
+            tokenizer.load_index(index_path)
+        else:
+            tokenizer.precompute_corpus_ids(np.asarray(item_features))
+            if index_path is not None:
+                tokenizer.save_index(index_path)
 
         dec_restored = ckpt_lib.load_checkpoint(decoder_checkpoint)
         dec_cfg = dec_restored["config"]

@@ -196,6 +196,47 @@ class SemanticIdTokenizer:
         self.cached_ids = self._build_index(self.params, x)
         return self.cached_ids
 
+    # ---- index persistence (serving startup without re-tokenization) ----
+
+    def _index_fingerprint(self) -> np.ndarray:
+        """Cheap identity of the (model, params) that defined the index:
+        geometry plus codebook checksums. Guards load_index against pairing
+        a stored index with a different RQ-VAE (wrong ids would silently
+        poison retrieval)."""
+        cfg = self.model.config
+        cb = np.asarray(self.params["params"]["codebooks"], np.float64)
+        return np.asarray(
+            [float(cfg.n_layers), float(cfg.codebook_size), float(cb.shape[-1]),
+             float(cb.sum()), float(np.abs(cb).sum())]
+        )
+
+    def save_index(self, path: str) -> None:
+        """Persist the built corpus index (cached_ids + fingerprint). The
+        reference re-tokenizes the corpus on every decoder-trainer start
+        (/root/reference/train_decoder.py:125); with a saved index, serving
+        startup skips the full-corpus encode entirely."""
+        if self.cached_ids is None:
+            raise RuntimeError("no corpus index built; nothing to save")
+        np.savez_compressed(
+            path,
+            cached_ids=np.asarray(self.cached_ids),
+            fingerprint=self._index_fingerprint(),
+        )
+
+    def load_index(self, path: str) -> jax.Array:
+        """Load a save_index() artifact after verifying it was built by
+        this tokenizer's RQ-VAE."""
+        with np.load(path) as z:
+            fp, cached = z["fingerprint"], z["cached_ids"]
+        mine = self._index_fingerprint()
+        if fp.shape != mine.shape or not np.allclose(fp, mine):
+            raise ValueError(
+                f"index at {path} was built by a different RQ-VAE "
+                f"(fingerprint {fp} != {mine})"
+            )
+        self.cached_ids = jnp.asarray(cached)
+        return self.cached_ids
+
     def extend_corpus_ids(self, new_features: np.ndarray) -> jax.Array:
         """Admit new items into an existing corpus index (live catalog
         growth — no reference counterpart: /root/reference's tokenizer only

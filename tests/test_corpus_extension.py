@@ -88,6 +88,54 @@ class TestTokenizerExtension:
             pass
 
 
+class TestIndexPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        """A persisted index restores byte-identically into a fresh
+        tokenizer of the same RQ-VAE (serving startup skips the
+        full-corpus encode)."""
+        _, feats = _features()
+        rq, rq_params = _vae(feats)
+        tok = SemanticIdTokenizer(rq, rq_params)
+        tok.precompute_corpus_ids(feats)
+        path = str(tmp_path / "index.npz")
+        tok.save_index(path)
+
+        fresh = SemanticIdTokenizer(rq, rq_params)
+        fresh.load_index(path)
+        np.testing.assert_array_equal(np.asarray(fresh.cached_ids), np.asarray(tok.cached_ids))
+        # the restored index extends like the original
+        fresh.extend_corpus_ids(feats[:8])
+        assert fresh.cached_ids.shape[0] == N + 8
+
+    def test_fingerprint_rejects_other_vae(self, tmp_path):
+        _, feats = _features()
+        rq, rq_params = _vae(feats)
+        tok = SemanticIdTokenizer(rq, rq_params)
+        tok.precompute_corpus_ids(feats)
+        path = str(tmp_path / "index.npz")
+        tok.save_index(path)
+
+        other = jax.tree_util.tree_map(lambda x: x, rq_params)
+        other["params"] = dict(other["params"])
+        other["params"]["codebooks"] = other["params"]["codebooks"] + 0.5
+        wrong = SemanticIdTokenizer(rq, other)
+        try:
+            wrong.load_index(path)
+            raise AssertionError("must reject an index from a different RQ-VAE")
+        except ValueError as e:
+            assert "different RQ-VAE" in str(e)
+
+    def test_save_requires_index(self, tmp_path):
+        _, feats = _features()
+        rq, rq_params = _vae(feats)
+        tok = SemanticIdTokenizer(rq, rq_params)
+        try:
+            tok.save_index(str(tmp_path / "x.npz"))
+            raise AssertionError("should require a built index")
+        except RuntimeError:
+            pass
+
+
 class TestPrefixTableExtension:
     def _ids(self):
         _, feats = _features()

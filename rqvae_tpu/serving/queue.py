@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Optional
 
@@ -67,6 +68,11 @@ class AsyncRetrievalEngine:
         # observability
         self.flushes = 0
         self.requests = 0
+        # end-to-end latency (enqueue -> future resolved) of the most
+        # recent requests, seconds; bounded so long-running services don't
+        # grow memory. Read through stats().
+        self._latencies: deque = deque(maxlen=16384)
+        self._batch_sizes: deque = deque(maxlen=16384)
         if autostart:
             self.start()
 
@@ -109,9 +115,10 @@ class AsyncRetrievalEngine:
         with self._cond:
             if self._shutdown:
                 raise RuntimeError("AsyncRetrievalEngine is closed")
+            now = time.monotonic()
             if not self._pending:
-                self._oldest = time.monotonic()
-            self._pending.append((h, int(user_id), fut))
+                self._oldest = now
+            self._pending.append((h, int(user_id), fut, now))
             self.requests += 1
             self._cond.notify_all()
         return fut
@@ -130,6 +137,8 @@ class AsyncRetrievalEngine:
         if not batch:
             return
         self.flushes += 1
+        with self._lock:  # stats() iterates these deques under the lock
+            self._batch_sizes.append(len(batch))
         hists = [b[0] for b in batch]
         uids = [b[1] for b in batch]
         futs = [b[2] for b in batch]
@@ -142,6 +151,26 @@ class AsyncRetrievalEngine:
             return
         for i, f in enumerate(futs):
             f.set_result(jax.tree_util.tree_map(lambda a, i=i: np.asarray(a)[i], res))
+        done = time.monotonic()
+        with self._lock:
+            self._latencies.extend(done - b[3] for b in batch)
+
+    def stats(self) -> dict:
+        """Service-level observability over the most recent requests:
+        end-to-end latency percentiles (enqueue -> result, seconds) and
+        dispatch batch-size distribution. Thread-safe snapshot."""
+        with self._lock:
+            lats = np.asarray(self._latencies, np.float64)
+            sizes = np.asarray(self._batch_sizes, np.float64)
+        out = {"requests": self.requests, "flushes": self.flushes}
+        if lats.size:
+            p50, p95, p99 = np.percentile(lats, [50, 95, 99])
+            out.update(latency_p50_s=float(p50), latency_p95_s=float(p95),
+                       latency_p99_s=float(p99), latency_mean_s=float(lats.mean()))
+        if sizes.size:
+            out.update(batch_size_mean=float(sizes.mean()),
+                       batch_size_max=int(sizes.max()))
+        return out
 
     def flush(self) -> int:
         """Synchronously dispatch everything currently queued (manual mode

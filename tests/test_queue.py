@@ -117,6 +117,18 @@ class TestWorkerThread:
         except AttributeError:
             pass
 
+    def test_stats(self):
+        """Latency percentiles and batch-size stats accumulate per flush."""
+        _, eng, q, hist = _mk(autostart=False)
+        reqs = [np.asarray(h, np.int32)[np.asarray(h) >= 0][:4] for h in hist[:5]]
+        futs = [q.submit(h) for h in reqs]
+        q.flush()
+        [f.result(timeout=0) for f in futs]
+        s = q.stats()
+        assert s["requests"] == 5 and s["flushes"] >= 1
+        assert 0 <= s["latency_p50_s"] <= s["latency_p95_s"] <= s["latency_p99_s"]
+        assert s["batch_size_mean"] > 0 and s["batch_size_max"] <= 4  # cap = largest bucket
+
     def test_worker_survives_concurrent_manual_flush(self):
         """A manual flush() that drains the queue while the worker sits in
         its delay wait must not kill the worker (regression: the wake-up

@@ -306,10 +306,15 @@ class Retriever:
         the old corpus or a fully consistent new one, never a beam it
         cannot map back to an item.
 
+        Composes with scale-out serving: a mesh-sharded Retriever (and/or a
+        tokenizer whose FULL-corpus build ran mesh-sharded) extends the same
+        way — extend_corpus_ids always encodes the (small) extension batch
+        unsharded, and every serving-state update below is a functional
+        jnp update on replicated arrays, which the shard_map query program
+        consumes via its replicated in_specs (locked by
+        tests/test_corpus_extension.py::test_mesh_sharded_extension).
+
         Returns the new corpus size."""
-        assert self.tokenizer.mesh is None, (
-            "extend_corpus with a mesh-sharded tokenizer build is not supported"
-        )
         new_rows = self.tokenizer.extend_corpus_ids(new_features)
         m = new_rows.shape[0]
         n_old, n_new = self._n_items, self._n_items + m

@@ -28,13 +28,9 @@ B, K, L, D = 64, 256, 3, 4
 CORPUS = 20000
 
 
-def main():
-    n_items = 200
-    if "--items" in sys.argv:
-        n_items = int(sys.argv[sys.argv.index("--items") + 1])
-    knob = "fused_attention"
-    if "--knob" in sys.argv:
-        knob = sys.argv[sys.argv.index("--knob") + 1]
+def run_equivalence(knob="fused_attention", n_items=200):
+    """Full-beam output equality, kernel-on vs XLA. Importable for
+    one-process TPU sessions; returns the match-rate dict."""
     rng = np.random.RandomState(0)
     sem = rng.randint(0, K, (B, n_items * D))
     batch = TokenizedSeqBatch(
@@ -87,6 +83,18 @@ def main():
     ])
     print(f"top-1 exact match: {top1:.4f}; all-k positional match: {allk:.4f}; "
           f"top-k SET overlap: {set_overlap:.4f}")
+    return {"knob": knob, "items": n_items, "top1_match": float(top1),
+            "allk_match": float(allk), "set_overlap": float(set_overlap)}
+
+
+def main():
+    n_items = 200
+    if "--items" in sys.argv:
+        n_items = int(sys.argv[sys.argv.index("--items") + 1])
+    knob = "fused_attention"
+    if "--knob" in sys.argv:
+        knob = sys.argv[sys.argv.index("--knob") + 1]
+    run_equivalence(knob, n_items)
 
 
 if __name__ == "__main__":

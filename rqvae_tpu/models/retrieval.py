@@ -268,8 +268,10 @@ class EncoderDecoderRetrievalModel(nn.Module):
         # weights resident in VMEM (ops/pallas/decoder_stack.py — the
         # decode stages are dispatch-bound, ~79% of the Amazon serving
         # batch per benchmarks/beam_phases.py); gate like the attention
-        # kernel (t5.py::T5Stack.use_fused_decode)
-        fd = self.decoder.use_fused_decode()
+        # kernel (t5.py::T5Stack.use_fused_decode; gated on the encoder row
+        # length — the kernel streams the cross-KV cache, so it wins only
+        # at short rows)
+        fd = self.decoder.use_fused_decode(enc.shape[1])
 
         def decode_last(prefix: Optional[jax.Array], beams: int) -> jax.Array:
             """Last-position decoder states [B*beams, d] for one level."""

@@ -46,6 +46,17 @@ NEG_INF = -1e9
 # can monkeypatch it down to interpret-friendly sizes
 FUSED_ENCODE_MIN_LEN = 512
 
+# fused decoder-stack length gate, on the ENCODER row length Le: the kernel
+# exists to collapse the ~50 tiny XLA dispatches of one short-row decode
+# level, but it streams the whole [NL, B, H, Le, dk] cross-KV cache through
+# VMEM per batch block, so its economics invert as Le grows. Chip-measured
+# (benchmarks/r4_tpu_session*.py): Le=81 (Amazon) 3.05 -> 2.50 ms/batch
+# (+22% QPS); Le=800 (ML-32M) +2.5 ms (loses); Le=256 fails to even fit the
+# 100MB scoped-vmem limit under the current block schedule. Applies to the
+# "on" mode too ("on" only forces past the device-count gate, like the
+# other kernels' size gates).
+FUSED_DECODE_MAX_LEN = 128
+
 
 @dataclass(frozen=True)
 class T5StackConfig:
@@ -87,6 +98,8 @@ class T5StackConfig:
     # dispatches per level are the measured serving cost at short rows
     # (benchmarks/beam_phases.py). Same mode strings as fused_attention:
     # "auto" (single-device TPU inference), "on", "off", "interpret".
+    # Gated to encoder rows <= FUSED_DECODE_MAX_LEN in all modes but
+    # off/interpret (chip-measured crossover, RESULTS.md round 4).
     fused_decode: str = "auto"
     # fused encoder-stack serving kernel (ops/pallas/encoder_stack.py):
     # whole encoder forward in one pallas_call for LONG rows (the XLA path
@@ -419,22 +432,29 @@ class T5Stack(nn.Module):
         assert self.is_decoder, "cross_kv is a decoder-stack cache"
         return tuple(b.cross_kv(enc_out.astype(self.cfg.compute_dtype)) for b in self.block)
 
-    def use_fused_decode(self):
+    def use_fused_decode(self, enc_len: int):
         """Serving-kernel gate (cfg.fused_decode): False, True, or
-        "interpret". "auto" = single-device TPU only — a pallas_call inside
-        a GSPMD program would replicate instead of shard."""
+        "interpret". `enc_len` is the encoder row length Le the decode
+        levels cross-attend (the kernel's cost driver — see
+        FUSED_DECODE_MAX_LEN). "auto" = single-device TPU only — a
+        pallas_call inside a GSPMD program would replicate instead of
+        shard; "on" forces past that device-count gate (per-shard
+        execution, e.g. shard_map serving) but keeps the measured length
+        gate."""
         mode = self.cfg.fused_decode
         if mode == "off":
             return False
         if mode == "interpret":
             return "interpret"
+        # measured size gate, applies to "on" too: wins at short rows
+        # (Amazon Le=81: +22% QPS), loses/OOMs at long rows — chip A/Bs in
+        # benchmarks/r4_tpu_session*.py, RESULTS.md round 4
+        if enc_len > FUSED_DECODE_MAX_LEN:
+            return False
         if mode == "on":
             return True
-        # "auto" declines until the kernel's compiled-TPU proof lands
-        # (interpret mode is blind to Mosaic lowering errors — CLAUDE.md);
-        # flip to `backend == "tpu" and device_count() == 1` once
-        # benchmarks/beam_equivalence.py --knob fused_decode passes on chip
-        return False
+        # "auto": chip-proven round 4 (compiled equivalence + A/B wins)
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
 
     def fused_decode(
         self,
@@ -550,9 +570,13 @@ class T5Stack(nn.Module):
             return "interpret"
         if mode == "on":
             return True
-        # "auto" declines until the kernel's compiled-TPU proof lands
-        # (interpret mode is blind to Mosaic lowering errors — CLAUDE.md)
-        return False
+        # "auto": chip-proven round 4 — compiled equivalence (top-1 match
+        # 1.0) and an A/B win at its gated regime (ML-32M Le=800:
+        # 15.55 -> 15.11 ms/batch; the baseline encoder already serves the
+        # fused ATTENTION kernel at long rows, so the stack kernel's extra
+        # win is the remaining inter-op HBM traffic) —
+        # benchmarks/r4_tpu_session.py, RESULTS.md round 4
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
 
     def fused_encode(
         self,

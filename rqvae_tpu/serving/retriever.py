@@ -45,7 +45,13 @@ def _promote_serving_gates(model: EncoderDecoderRetrievalModel):
     because a pallas_call inside a plain GSPMD jit would be REPLICATED
     (it has no partitioning rule) — but per-shard execution is exactly
     what shard_map guarantees, so inside one the kernels are safe (same
-    promotion as the shard_map train step, train/decoder_steps.py)."""
+    promotion as the shard_map train step, train/decoder_steps.py).
+
+    "on" only forces past the device-count gate: every kernel's MEASURED
+    size/training gates still apply (fused_attention's lq/lk thresholds,
+    fused_encode's FUSED_ENCODE_MIN_LEN, fused_decode's
+    FUSED_DECODE_MAX_LEN — models/t5.py), so mesh serving runs exactly the
+    chip-proven kernel set single-chip serving runs, per shard."""
     from dataclasses import replace
 
     if jax.default_backend() != "tpu":

@@ -107,12 +107,19 @@ class TestGeneratePath:
 
 class TestGate:
     def test_modes(self):
+        from rqvae_tpu.models.t5 import FUSED_DECODE_MAX_LEN
+
+        short = FUSED_DECODE_MAX_LEN  # inclusive cap
         mk = lambda mode: T5Stack(replace(CFG, fused_decode=mode), is_decoder=True)
-        assert mk("off").use_fused_decode() is False
-        assert mk("on").use_fused_decode() is True
-        assert mk("interpret").use_fused_decode() == "interpret"
-        # auto on CPU (test env) declines
-        assert mk("auto").use_fused_decode() is False
+        assert mk("off").use_fused_decode(short) is False
+        assert mk("on").use_fused_decode(short) is True
+        assert mk("interpret").use_fused_decode(short) == "interpret"
+        # auto on CPU (test env) declines (chip gate is TPU + 1 device)
+        assert mk("auto").use_fused_decode(short) is False
+        # the measured length gate applies to "on" too: the kernel loses
+        # (and can OOM scoped vmem) at long encoder rows — r4 chip A/Bs
+        assert mk("on").use_fused_decode(short + 1) is False
+        assert mk("auto").use_fused_decode(short + 1) is False
 
     def test_block_b_budget(self):
         from rqvae_tpu.ops.pallas.decoder_stack import _auto_block_b

@@ -86,6 +86,70 @@ def export_checkpoint(src: str, dst: str) -> str:
     return save_reference_checkpoint(cfg, ckpt["params"], ckpt["step"], dst)
 
 
+def _t5_stack_state(stack_params: dict, num_layers: int, is_decoder: bool,
+                    prefix: str) -> Dict[str, np.ndarray]:
+    """Our flax T5Stack params -> HF T5Stack state-dict arrays (the exact
+    inverse of tests/test_t5_hf_parity.py::_port_weights: transpose Dense
+    kernels back to torch's [out, in])."""
+    out: Dict[str, np.ndarray] = {}
+    for i in range(num_layers):
+        b = stack_params[f"block_{i}"]
+        p = f"{prefix}block.{i}.layer.0."
+        out[p + "SelfAttention.q.weight"] = np.asarray(b["self_attn"]["q"]["kernel"]).T.copy()
+        out[p + "SelfAttention.k.weight"] = np.asarray(b["self_attn"]["k"]["kernel"]).T.copy()
+        out[p + "SelfAttention.v.weight"] = np.asarray(b["self_attn"]["v"]["kernel"]).T.copy()
+        out[p + "SelfAttention.o.weight"] = np.asarray(b["self_attn"]["o"]["kernel"]).T.copy()
+        if i == 0:
+            out[p + "SelfAttention.relative_attention_bias.weight"] = np.asarray(
+                b["self_attn"]["rel_bias"]
+            ).copy()
+        out[p + "layer_norm.weight"] = np.asarray(b["ln_self"]["weight"]).copy()
+        li = 1
+        if is_decoder:
+            c = f"{prefix}block.{i}.layer.1."
+            out[c + "EncDecAttention.q.weight"] = np.asarray(b["cross_attn"]["q"]["kernel"]).T.copy()
+            out[c + "EncDecAttention.k.weight"] = np.asarray(b["cross_attn"]["k"]["kernel"]).T.copy()
+            out[c + "EncDecAttention.v.weight"] = np.asarray(b["cross_attn"]["v"]["kernel"]).T.copy()
+            out[c + "EncDecAttention.o.weight"] = np.asarray(b["cross_attn"]["o"]["kernel"]).T.copy()
+            out[c + "layer_norm.weight"] = np.asarray(b["ln_cross"]["weight"]).copy()
+            li = 2
+        f = f"{prefix}block.{i}.layer.{li}."
+        out[f + "DenseReluDense.wi.weight"] = np.asarray(b["ffn"]["wi"]["kernel"]).T.copy()
+        out[f + "DenseReluDense.wo.weight"] = np.asarray(b["ffn"]["wo"]["kernel"]).T.copy()
+        out[f + "layer_norm.weight"] = np.asarray(b["ln_ffn"]["weight"]).copy()
+    out[f"{prefix}final_layer_norm.weight"] = np.asarray(stack_params["ln_final"]["weight"]).copy()
+    return out
+
+
+def reference_retrieval_state_from_params(params: dict, cfg) -> Dict[str, np.ndarray]:
+    """Our EncoderDecoderRetrievalModel params -> the reference
+    `modules/model.py::EncoderDecoderRetrievalModel` state-dict layout
+    (model.py:58-119): a decoder trained here drops into the reference's
+    eval/serving code unmodified — the stage-2 counterpart of
+    save_reference_checkpoint. `codebooks` (the corpus tuple table) is a
+    registered buffer set at the reference model's construction, not a
+    weight, so it is NOT part of this state dict.
+
+    Load with strict=False: the reference's unused token-embedding stubs
+    (encoder.shared / *.embed_tokens, never hit — both sides feed
+    inputs_embeds) have no counterpart here."""
+    p = params["params"]
+    cfgl = cfg.num_hierarchies
+    state: Dict[str, np.ndarray] = {}
+    state["item_sid_embedding_table.weight"] = np.asarray(p["sid_embedding"]).copy()
+    state["bos_token"] = np.asarray(p["bos_token"]).copy()
+    if "sep_token" in p:
+        state["sep_token"] = np.asarray(p["sep_token"]).copy()
+    if "user_embedding" in p:
+        state["user_embedding.weight"] = np.asarray(p["user_embedding"]).copy()
+    heads = np.asarray(p["heads"])  # [L, d, K]
+    for h in range(cfgl):
+        state[f"decoder_mlp.{h}.weight"] = heads[h].T.copy()
+    state.update(_t5_stack_state(p["encoder"], cfg.t5_num_layers, False, "encoder.encoder."))
+    state.update(_t5_stack_state(p["decoder"], cfg.t5_num_layers, True, "t5_decoder."))
+    return state
+
+
 def main() -> None:
     import argparse
 

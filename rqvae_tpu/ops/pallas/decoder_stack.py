@@ -162,7 +162,15 @@ def _auto_block_b(batch, num_layers, heads, kt, le, dk, d, dff, itemsize,
     """Largest batch block whose double-buffered working set (cross K/V
     cache + x/out) plus the resident weights stays within the VMEM budget.
     Weights have a constant block index (fetched once), so they count once;
-    per-batch-row blocks count twice (pipeline double buffering)."""
+    per-batch-row blocks count twice (pipeline double buffering).
+
+    The 1.6x factor on per-row bytes is CHIP-CALIBRATED: at Le=256/bb=16
+    this model predicted ~65MB but Mosaic's true scoped allocation was
+    110.8MB (> the 100MB limit — compile failure, r4_tpu_session2.py); the
+    compiler keeps more per-layer temporaries live across the unrolled
+    layer/head loops than the analytic minimum. The factor leaves the
+    measured-winning Amazon schedule (Le<=128 -> bb=16) unchanged and
+    makes mid-length rows pick blocks that actually fit."""
     w_bytes = num_layers * (6 * heads * d * dk + 2 * d * dff) * itemsize
     per_row = (
         num_layers * 2 * heads * le * dk * itemsize  # kc + vc
@@ -170,6 +178,7 @@ def _auto_block_b(batch, num_layers, heads, kt, le, dk, d, dff, itemsize,
         + kt * le * 4  # pre-broadcast mask term (f32)
         + 2 * kt * max(kt, le) * 4  # score/prob scratch (f32)
     )
+    per_row = int(per_row * 1.6)
     for bb in (64, 32, 16, 8, 4, 2, 1):
         if w_bytes + 2 * bb * per_row <= budget or bb == 1:
             return min(bb, max(batch, 1))

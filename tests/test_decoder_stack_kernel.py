@@ -124,8 +124,12 @@ class TestGate:
     def test_block_b_budget(self):
         from rqvae_tpu.ops.pallas.decoder_stack import _auto_block_b
 
-        # Amazon serving geometry: whole batch fits (grid = 1)
-        assert _auto_block_b(64, 4, 6, 30, 64, 64, 384, 1024, 2) == 64
+        # Amazon serving geometry keeps the chip-measured winning schedule
+        # (level-2 block 32 after the r4 1.6x scoped-vmem calibration)
+        assert _auto_block_b(64, 4, 6, 32, 80, 64, 384, 1024, 2) == 32
+        # the gate cap Le=128 picks a block that actually fits the 100MB
+        # scoped-vmem limit (bb=32 would be ~105MB true allocation)
+        assert _auto_block_b(64, 4, 6, 32, 128, 64, 384, 1024, 2) == 16
         # ML-32M long rows: the K/V cache forces smaller blocks
         bb = _auto_block_b(64, 4, 6, 30, 804, 64, 384, 1024, 2)
-        assert 1 <= bb <= 16
+        assert 1 <= bb <= 8

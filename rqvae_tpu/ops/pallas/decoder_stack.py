@@ -164,13 +164,14 @@ def _auto_block_b(batch, num_layers, heads, kt, le, dk, d, dff, itemsize,
     Weights have a constant block index (fetched once), so they count once;
     per-batch-row blocks count twice (pipeline double buffering).
 
-    The 1.6x factor on per-row bytes is CHIP-CALIBRATED: at Le=256/bb=16
-    this model predicted ~65MB but Mosaic's true scoped allocation was
-    110.8MB (> the 100MB limit — compile failure, r4_tpu_session2.py); the
-    compiler keeps more per-layer temporaries live across the unrolled
-    layer/head loops than the analytic minimum. The factor leaves the
-    measured-winning Amazon schedule (Le<=128 -> bb=16) unchanged and
-    makes mid-length rows pick blocks that actually fit."""
+    Mosaic's TRUE scoped allocation exceeds this analytic minimum by an
+    Le-dependent factor (it keeps more per-layer/per-head temporaries live
+    across the unrolled loops): at Le=256/bb=16 the model said 69MB but the
+    compiler allocated 110.8MB and failed the 100MB limit
+    (benchmarks/r4_tpu_session2.py). Rather than guess the factor, the
+    block pick is additionally capped by the CHIP-PROVEN fit table below —
+    every cap is a configuration that compiled and ran on v5e (r4 sessions:
+    Le<=128 @ bb=32 fits AND wins; Le=512 @ bb=8 and Le=800 @ bb=4 fit)."""
     w_bytes = num_layers * (6 * heads * d * dk + 2 * d * dff) * itemsize
     per_row = (
         num_layers * 2 * heads * le * dk * itemsize  # kc + vc
@@ -178,8 +179,10 @@ def _auto_block_b(batch, num_layers, heads, kt, le, dk, d, dff, itemsize,
         + kt * le * 4  # pre-broadcast mask term (f32)
         + 2 * kt * max(kt, le) * 4  # score/prob scratch (f32)
     )
-    per_row = int(per_row * 1.6)
+    cap = 32 if le <= 128 else (8 if le <= 512 else 4)
     for bb in (64, 32, 16, 8, 4, 2, 1):
+        if bb > cap:
+            continue
         if w_bytes + 2 * bb * per_row <= budget or bb == 1:
             return min(bb, max(batch, 1))
     return 1

@@ -124,12 +124,13 @@ class TestGate:
     def test_block_b_budget(self):
         from rqvae_tpu.ops.pallas.decoder_stack import _auto_block_b
 
-        # Amazon serving geometry keeps the chip-measured winning schedule
-        # (level-2 block 32 after the r4 1.6x scoped-vmem calibration)
+        # chip-proven winning schedules (r4 sessions): Le<=128 runs bb=32
         assert _auto_block_b(64, 4, 6, 32, 80, 64, 384, 1024, 2) == 32
-        # the gate cap Le=128 picks a block that actually fits the 100MB
-        # scoped-vmem limit (bb=32 would be ~105MB true allocation)
-        assert _auto_block_b(64, 4, 6, 32, 128, 64, 384, 1024, 2) == 16
+        assert _auto_block_b(64, 4, 6, 32, 128, 64, 384, 1024, 2) == 32
+        # beyond the fit table's Le<=128 row the cap drops to chip-proven
+        # blocks (Le=256 @ bb=16 OOM'd scoped vmem; bb=8 fits)
+        assert _auto_block_b(64, 4, 6, 32, 256, 64, 384, 1024, 2) == 8
+        assert _auto_block_b(64, 4, 6, 32, 512, 64, 384, 1024, 2) == 8
         # ML-32M long rows: the K/V cache forces smaller blocks
         bb = _auto_block_b(64, 4, 6, 30, 804, 64, 384, 1024, 2)
-        assert 1 <= bb <= 8
+        assert 1 <= bb <= 4

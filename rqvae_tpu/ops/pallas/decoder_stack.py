@@ -169,9 +169,12 @@ def _auto_block_b(batch, num_layers, heads, kt, le, dk, d, dff, itemsize,
     across the unrolled loops): at Le=256/bb=16 the model said 69MB but the
     compiler allocated 110.8MB and failed the 100MB limit
     (benchmarks/r4_tpu_session2.py). Rather than guess the factor, the
-    block pick is additionally capped by the CHIP-PROVEN fit table below —
-    every cap is a configuration that compiled and ran on v5e (r4 sessions:
-    Le<=128 @ bb=32 fits AND wins; Le=512 @ bb=8 and Le=800 @ bb=4 fit)."""
+    block pick is additionally capped by the CHIP-PROVEN fit table below.
+    Every cap compiled and ran on v5e (r4 sessions) WITH HEADROOM: bb=32 at
+    Le=128 compiled standalone (119.75M true allocation) but OOM'd when the
+    kernel sits inside the fused Retriever query program, whose surrounding
+    scratch lowers the effective scoped-vmem ceiling (116M observed) — so
+    the Le<=128 cap is 16, half the standalone-proven block."""
     w_bytes = num_layers * (6 * heads * d * dk + 2 * d * dff) * itemsize
     per_row = (
         num_layers * 2 * heads * le * dk * itemsize  # kc + vc
@@ -179,7 +182,7 @@ def _auto_block_b(batch, num_layers, heads, kt, le, dk, d, dff, itemsize,
         + kt * le * 4  # pre-broadcast mask term (f32)
         + 2 * kt * max(kt, le) * 4  # score/prob scratch (f32)
     )
-    cap = 32 if le <= 128 else (8 if le <= 512 else 4)
+    cap = 16 if le <= 128 else (8 if le <= 512 else 4)
     for bb in (64, 32, 16, 8, 4, 2, 1):
         if bb > cap:
             continue

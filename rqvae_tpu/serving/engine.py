@@ -78,8 +78,9 @@ class RetrievalEngine:
                 return b
         return buckets[-1]
 
-    def _run_group(self, hists, uids, item_bucket):
-        """hists: list of 1-D int arrays (each <= item_bucket items)."""
+    def _run_group_device(self, hists, uids, item_bucket):
+        """Dispatch one bucket-shaped program; returns DEVICE results (the
+        full padded batch — callers slice after the host fetch)."""
         n = len(hists)
         bb = self._bucket_for(n, self.batch_buckets)
         padded = np.full((bb, item_bucket), -1, np.int32)
@@ -88,16 +89,28 @@ class RetrievalEngine:
             padded[i, : len(h)] = h
             users[i] = uids[i]
         self.shape_counts[(bb, item_bucket)] = self.shape_counts.get((bb, item_bucket), 0) + 1
-        res = self.retriever.retrieve(padded, users)
-        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], res)
+        return self.retriever.retrieve(padded, users)
 
-    def retrieve_many(
+    def _run_group(self, hists, uids, item_bucket):
+        """hists: list of 1-D int arrays (each <= item_bucket items)."""
+        res = self._run_group_device(hists, uids, item_bucket)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[: len(hists)], res)
+
+    def retrieve_many_device(
         self,
         histories: Sequence[np.ndarray],  # per-request 1-D item-id arrays
         user_ids: Optional[Sequence[int]] = None,
-    ) -> RetrievalResult:
-        """Serve a list of variable-length requests; results stack in
-        request order."""
+    ) -> list:
+        """DISPATCH phase of retrieve_many: bucket the requests, enqueue one
+        program per (batch, items) bucket group, and return a plan of
+        (request_indices, device_result) pairs WITHOUT fetching values.
+        Pass the plan to `finalize_many` to produce the stacked host result.
+
+        The split lets the async queue (serving/queue.py) overlap the NEXT
+        flush's dispatch with this one's host fetch — on remoted runtimes
+        the fetch is transport-round-trip-bound, not device-bound, and a
+        single worker doing dispatch+fetch serially was the measured
+        sustained-QPS ceiling (benchmarks/slo_bench.py, RESULTS r4)."""
         if user_ids is None:
             user_ids = [0] * len(histories)
         assert len(user_ids) == len(histories)
@@ -113,18 +126,39 @@ class RetrievalEngine:
             b = self._bucket_for(max(len(h), 1), self.item_buckets)
             groups.setdefault(b, []).append(i)
 
-        out = [None] * len(cleaned)
+        plan = []
         for item_bucket, idxs in sorted(groups.items()):
             # split oversize groups at the largest batch bucket
             cap = self.batch_buckets[-1]
             for s in range(0, len(idxs), cap):
                 chunk = idxs[s : s + cap]
-                res = self._run_group(
+                res = self._run_group_device(
                     [cleaned[i] for i in chunk], [user_ids[i] for i in chunk], item_bucket
                 )
-                for j, i in enumerate(chunk):
-                    out[i] = jax.tree_util.tree_map(lambda a, j=j: a[j], res)
+                plan.append((chunk, res))
+        return plan
+
+    @staticmethod
+    def finalize_many(n_requests: int, plan: list) -> RetrievalResult:
+        """FETCH phase: pull each group's device result to the host and
+        stack per-request rows in request order."""
+        out = [None] * n_requests
+        for chunk, res in plan:
+            host = jax.tree_util.tree_map(np.asarray, res)
+            for j, i in enumerate(chunk):
+                out[i] = jax.tree_util.tree_map(lambda a, j=j: a[j], host)
         return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *out)
+
+    def retrieve_many(
+        self,
+        histories: Sequence[np.ndarray],
+        user_ids: Optional[Sequence[int]] = None,
+    ) -> RetrievalResult:
+        """Serve a list of variable-length requests; results stack in
+        request order."""
+        return self.finalize_many(
+            len(histories), self.retrieve_many_device(histories, user_ids)
+        )
 
     def warmup(self) -> int:
         """Compile every (batch, items) bucket pair upfront (optional —

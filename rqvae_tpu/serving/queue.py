@@ -15,17 +15,24 @@ them through `RetrievalEngine.retrieve_many` when either
 - enough requests are waiting to fill the largest batch bucket, or
 - the oldest queued request has waited `max_delay_ms` (tail-latency bound).
 
-One worker thread is the right concurrency: a single-chip XLA dispatch
+One DISPATCH worker is the right concurrency: a single-chip XLA dispatch
 queue serializes programs anyway, and `RetrievalEngine` already splits a
 flush into per-(batch, items)-bucket programs, so the worker's only job is
-deciding WHEN to cut a batch. All request/response bookkeeping is
-host-side numpy; results are per-request slices of the engine's stacked
-output, so a submit()ed request returns exactly what `retrieve_many`
-would return for it (locked by tests/test_queue.py).
+deciding WHEN to cut a batch. The host FETCH of results, however, is
+transport-bound, not device-bound (on remoted runtimes each value fetch is
+a full round trip), so it runs on a separate resolver thread: the worker
+dispatches flush N+1 while flush N's results stream back, with
+`max_in_flight` plans as backpressure. Measured on the axon-tunneled v5e
+this pipelining + the single-dispatch Retriever query raised sustained
+queue throughput ~4x (benchmarks/slo_bench.py, RESULTS r4). All
+request/response bookkeeping is host-side numpy; results are per-request
+slices of the engine's stacked output, so a submit()ed request returns
+exactly what `retrieve_many` would return for it (tests/test_queue.py).
 """
 
 from __future__ import annotations
 
+import queue as _queue
 import threading
 import time
 from collections import deque
@@ -55,6 +62,7 @@ class AsyncRetrievalEngine:
         engine: RetrievalEngine,
         max_delay_ms: float = 5.0,
         autostart: bool = True,
+        max_in_flight: int = 2,
     ):
         self.engine = engine
         self.max_delay = max_delay_ms / 1000.0
@@ -65,6 +73,10 @@ class AsyncRetrievalEngine:
         self._oldest: Optional[float] = None  # enqueue time of _pending[0]
         self._shutdown = False
         self._worker: Optional[threading.Thread] = None
+        # dispatched-but-unfetched flush plans; put() blocks at
+        # max_in_flight, which is the dispatch worker's backpressure
+        self._resolve_q: _queue.Queue = _queue.Queue(maxsize=max(1, max_in_flight))
+        self._resolver: Optional[threading.Thread] = None
         # observability
         self.flushes = 0
         self.requests = 0
@@ -85,14 +97,22 @@ class AsyncRetrievalEngine:
                 target=self._run, name="rqvae-serving-queue", daemon=True
             )
             self._worker.start()
+        if self._resolver is None or not self._resolver.is_alive():
+            self._resolver = threading.Thread(
+                target=self._run_resolver, name="rqvae-serving-resolver", daemon=True
+            )
+            self._resolver.start()
 
     def close(self) -> None:
-        """Drain the queue, then stop the worker."""
+        """Drain the queue, then stop the worker and resolver."""
         with self._cond:
             self._shutdown = True
             self._cond.notify_all()
         if self._worker is not None and self._worker.is_alive():
             self._worker.join()
+        if self._resolver is not None and self._resolver.is_alive():
+            self._resolve_q.put(None)  # sentinel AFTER the worker's last put
+            self._resolver.join()
         # a close() without a worker (autostart=False) still drains
         self.flush()
 
@@ -132,28 +152,66 @@ class AsyncRetrievalEngine:
         self._oldest = time.monotonic() if self._pending else None
         return batch
 
-    def _dispatch(self, batch: list) -> None:
-        """Run one flush through the engine and resolve its futures."""
-        if not batch:
-            return
+    def _record_flush(self, batch: list) -> None:
         self.flushes += 1
         with self._lock:  # stats() iterates these deques under the lock
             self._batch_sizes.append(len(batch))
-        hists = [b[0] for b in batch]
-        uids = [b[1] for b in batch]
+
+    def _settle(self, batch: list, res) -> None:
+        """Resolve a flush's futures from the fetched host result."""
         futs = [b[2] for b in batch]
-        try:
-            res = self.engine.retrieve_many(hists, uids)
-        except Exception as e:  # resolve every waiter, never deadlock
-            for f in futs:
-                if not f.done():
-                    f.set_exception(e)
-            return
         for i, f in enumerate(futs):
             f.set_result(jax.tree_util.tree_map(lambda a, i=i: np.asarray(a)[i], res))
         done = time.monotonic()
         with self._lock:
             self._latencies.extend(done - b[3] for b in batch)
+
+    def _fail(self, batch: list, e: Exception) -> None:
+        for _, _, f, _ in batch:  # resolve every waiter, never deadlock
+            if not f.done():
+                f.set_exception(e)
+
+    def _dispatch(self, batch: list) -> None:
+        """Synchronous flush (manual mode / final drain): dispatch, fetch,
+        resolve in one step."""
+        if not batch:
+            return
+        self._record_flush(batch)
+        try:
+            res = self.engine.retrieve_many([b[0] for b in batch], [b[1] for b in batch])
+        except Exception as e:
+            self._fail(batch, e)
+            return
+        self._settle(batch, res)
+
+    def _dispatch_async(self, batch: list) -> None:
+        """Worker path: enqueue the bucket programs and hand the un-fetched
+        plan to the resolver thread — the transport-bound host fetch
+        overlaps the next flush's dispatch."""
+        if not batch:
+            return
+        self._record_flush(batch)
+        try:
+            plan = self.engine.retrieve_many_device(
+                [b[0] for b in batch], [b[1] for b in batch]
+            )
+        except Exception as e:
+            self._fail(batch, e)
+            return
+        self._resolve_q.put((batch, plan))  # blocks at max_in_flight
+
+    def _run_resolver(self) -> None:
+        while True:
+            item = self._resolve_q.get()
+            if item is None:
+                return
+            batch, plan = item
+            try:
+                res = self.engine.finalize_many(len(batch), plan)
+            except Exception as e:
+                self._fail(batch, e)
+                continue
+            self._settle(batch, res)
 
     def stats(self) -> dict:
         """Service-level observability over the most recent requests:
@@ -203,5 +261,5 @@ class AsyncRetrievalEngine:
                 ):
                     self._cond.wait(timeout=left)
                 batch = self._take_batch()
-            self._dispatch(batch)
+            self._dispatch_async(batch)
         self.flush()  # drain whatever arrived before close()

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rqvae_tpu.data.schemas import SeqBatch
 from rqvae_tpu.models.retrieval import EncoderDecoderRetrievalModel
 from rqvae_tpu.ops.dedup import pack_sem_id_tuples
 from rqvae_tpu.serving.beam import build_prefix_table, extend_prefix_table
@@ -243,10 +242,20 @@ class Retriever:
                     method=EncoderDecoderRetrievalModel.generate,
                 )
 
+        from rqvae_tpu.tokenizer.semids import _tokenize_from_cache
+
         @jax.jit
-        def _query(params, sem_ids, seq_mask, user_ids, rng,
+        def _query(params, table, ids, user_ids, rng,
                    prefix_table, sorted_keys, sorted_items):
-            gen = run_gen(params, sem_ids, seq_mask, user_ids, prefix_table, rng)
+            # tokenization is fused INTO the query program: one dispatch per
+            # retrieve() instead of two — on remoted runtimes each dispatch
+            # costs a transport round trip, which dominated the measured
+            # serving-queue latency (benchmarks/slo_bench.py, RESULTS r4)
+            tok = _tokenize_from_cache(
+                table, user_ids, ids, jnp.zeros_like(user_ids), ids >= 0
+            )
+            gen = run_gen(params, tok.sem_ids, tok.seq_mask, tok.user_ids,
+                          prefix_table, rng)
             tuple_keys = pack_sem_id_tuples(gen.sem_ids, K)  # [B, k]
             idx = jnp.clip(
                 jnp.searchsorted(sorted_keys, tuple_keys, side="left"),
@@ -350,30 +359,18 @@ class Retriever:
         user_ids: Optional[np.ndarray] = None,
         rng: Optional[jax.Array] = None,
     ) -> RetrievalResult:
-        hist = jnp.asarray(item_id_history)
+        hist = jnp.asarray(item_id_history, jnp.int32)
         B, N = hist.shape
         if user_ids is None:
-            user_ids = jnp.zeros((B,), jnp.int32)
-        batch = SeqBatch(
-            user_ids=jnp.asarray(user_ids),
-            ids=hist,
-            ids_fut=jnp.zeros((B,), jnp.int32),
-            x=jnp.zeros((B, 0, 0)),
-            x_fut=jnp.zeros((B, 0)),
-            seq_mask=hist >= 0,
-        )
-        # tokenize against the capacity-padded table (NOT tokenizer.__call__,
-        # whose program would recompile when extend_corpus grows cached_ids)
-        from rqvae_tpu.tokenizer.semids import _tokenize_from_cache
-
-        tok = _tokenize_from_cache(
-            self._table, batch.user_ids, batch.ids, batch.ids_fut, batch.seq_mask
-        )
+            user_ids = np.zeros((B,), np.int32)
         if self.model.config.sample_candidates and rng is None:
             # advance internal state: each call must sample fresh noise
             # (a fixed key would silently freeze the candidate sets)
             self._rng, rng = jax.random.split(self._rng)
+        # the query program tokenizes against the capacity-padded table
+        # internally (NOT tokenizer.__call__, whose program would recompile
+        # when extend_corpus grows cached_ids) — one dispatch end to end
         return self._query(
-            self.params, tok.sem_ids, tok.seq_mask, tok.user_ids, rng,
+            self.params, self._table, hist, jnp.asarray(user_ids, jnp.int32), rng,
             self.prefix_table, self._sorted_keys, self._sorted_items,
         )

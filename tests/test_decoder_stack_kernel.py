@@ -124,9 +124,10 @@ class TestGate:
     def test_block_b_budget(self):
         from rqvae_tpu.ops.pallas.decoder_stack import _auto_block_b
 
-        # chip-proven winning schedules (r4 sessions): Le<=128 runs bb=32
-        assert _auto_block_b(64, 4, 6, 32, 80, 64, 384, 1024, 2) == 32
-        assert _auto_block_b(64, 4, 6, 32, 128, 64, 384, 1024, 2) == 32
+        # chip-proven fit table (r4 sessions): Le<=128 caps at bb=16 — 32
+        # compiled standalone but OOM'd inside the fused Retriever query
+        assert _auto_block_b(64, 4, 6, 32, 80, 64, 384, 1024, 2) == 16
+        assert _auto_block_b(64, 4, 6, 32, 128, 64, 384, 1024, 2) == 16
         # beyond the fit table's Le<=128 row the cap drops to chip-proven
         # blocks (Le=256 @ bb=16 OOM'd scoped vmem; bb=8 fits)
         assert _auto_block_b(64, 4, 6, 32, 256, 64, 384, 1024, 2) == 8

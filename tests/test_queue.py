@@ -129,6 +129,42 @@ class TestWorkerThread:
         assert 0 <= s["latency_p50_s"] <= s["latency_p95_s"] <= s["latency_p99_s"]
         assert s["batch_size_mean"] > 0 and s["batch_size_max"] <= 4  # cap = largest bucket
 
+    def test_async_dispatch_failure_propagates_and_worker_survives(self):
+        """Worker-path (pipelined) flushes: a failure while ENQUEUING the
+        bucket programs (retrieve_many_device) must resolve that flush's
+        futures exceptionally and leave the worker serving later requests."""
+        _, eng, q, _ = _mk(max_delay_ms=1.0)
+        with q:
+            real = eng.retrieve_many_device
+            eng.retrieve_many_device = None  # TypeError inside _dispatch_async
+            f1 = q.submit(np.asarray([0, 1], np.int32))
+            try:
+                f1.result(timeout=10)
+                raise AssertionError("future should carry the dispatch failure")
+            except TypeError:
+                pass
+            eng.retrieve_many_device = real
+            f2 = q.submit(np.asarray([2, 3], np.int32))
+            assert f2.result(timeout=10) is not None  # worker still alive
+
+    def test_async_fetch_failure_propagates_and_resolver_survives(self):
+        """A failure in the host FETCH (finalize_many, resolver thread) must
+        resolve that flush's futures exceptionally, not hang them, and the
+        resolver must keep settling later flushes."""
+        _, eng, q, _ = _mk(max_delay_ms=1.0)
+        with q:
+            real = eng.finalize_many
+            eng.finalize_many = None  # TypeError inside _run_resolver
+            f1 = q.submit(np.asarray([0, 1], np.int32))
+            try:
+                f1.result(timeout=10)
+                raise AssertionError("future should carry the fetch failure")
+            except TypeError:
+                pass
+            eng.finalize_many = real
+            f2 = q.submit(np.asarray([2, 3], np.int32))
+            assert f2.result(timeout=10) is not None  # resolver still alive
+
     def test_worker_survives_concurrent_manual_flush(self):
         """A manual flush() that drains the queue while the worker sits in
         its delay wait must not kill the worker (regression: the wake-up

@@ -89,7 +89,19 @@ class RetrievalEngine:
             padded[i, : len(h)] = h
             users[i] = uids[i]
         self.shape_counts[(bb, item_bucket)] = self.shape_counts.get((bb, item_bucket), 0) + 1
-        return self.retriever.retrieve(padded, users)
+        res = self.retriever.retrieve(padded, users)
+        # Start the device->host transfers NOW, while the program still
+        # runs: on remoted runtimes a blocking np.asarray is a full
+        # transport round trip, and finalize_many fetches 3 leaves per
+        # bucket group — serially that was the measured ~170 QPS sustained
+        # ceiling of the whole serving queue (benchmarks/transport_micro.py,
+        # slo_bench.py). Async copies put every leaf's transfer in flight
+        # concurrently so the fetch drains in ~1 RTT.
+        for leaf in jax.tree_util.tree_leaves(res):
+            copy = getattr(leaf, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        return res
 
     def _run_group(self, hists, uids, item_bucket):
         """hists: list of 1-D int arrays (each <= item_bucket items)."""

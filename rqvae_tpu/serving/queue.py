@@ -22,9 +22,11 @@ deciding WHEN to cut a batch. The host FETCH of results, however, is
 transport-bound, not device-bound (on remoted runtimes each value fetch is
 a full round trip), so it runs on a separate resolver thread: the worker
 dispatches flush N+1 while flush N's results stream back, with
-`max_in_flight` plans as backpressure. Measured on the axon-tunneled v5e
-this pipelining + the single-dispatch Retriever query raised sustained
-queue throughput ~4x (benchmarks/slo_bench.py, RESULTS r4). All
+`max_in_flight` plans as backpressure — and the engine starts every
+leaf's device->host copy asynchronously at dispatch time, so the resolver
+drains transfers already in flight instead of paying one round trip per
+leaf per bucket group (the measured ~170 QPS ceiling of the serial-fetch
+design; benchmarks/slo_bench.py + transport_micro.py, RESULTS r4). All
 request/response bookkeeping is host-side numpy; results are per-request
 slices of the engine's stacked output, so a submit()ed request returns
 exactly what `retrieve_many` would return for it (tests/test_queue.py).
@@ -62,15 +64,19 @@ class AsyncRetrievalEngine:
         engine: RetrievalEngine,
         max_delay_ms: float = 5.0,
         autostart: bool = True,
-        max_in_flight: int = 2,
+        max_in_flight: int = 4,
     ):
         self.engine = engine
         self.max_delay = max_delay_ms / 1000.0
         self._cap = engine.batch_buckets[-1]
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
-        self._pending: list = []  # (history, user_id, Future)
-        self._oldest: Optional[float] = None  # enqueue time of _pending[0]
+        # (history, user_id, Future, enqueue_time); deque so a deep backlog
+        # doesn't pay O(n) list re-slicing per flush. The delay bound always
+        # derives from _pending[0]'s TRUE enqueue time — no separate
+        # "oldest" clock that a flush would reset to now() (which silently
+        # extended survivors' deadlines past max_delay_ms).
+        self._pending: deque = deque()
         self._shutdown = False
         self._worker: Optional[threading.Thread] = None
         # dispatched-but-unfetched flush plans; put() blocks at
@@ -135,10 +141,7 @@ class AsyncRetrievalEngine:
         with self._cond:
             if self._shutdown:
                 raise RuntimeError("AsyncRetrievalEngine is closed")
-            now = time.monotonic()
-            if not self._pending:
-                self._oldest = now
-            self._pending.append((h, int(user_id), fut, now))
+            self._pending.append((h, int(user_id), fut, time.monotonic()))
             self.requests += 1
             self._cond.notify_all()
         return fut
@@ -147,10 +150,8 @@ class AsyncRetrievalEngine:
 
     def _take_batch(self) -> list:
         """Under the lock: pop up to `cap` requests (callers decide when)."""
-        batch = self._pending[: self._cap]
-        self._pending = self._pending[self._cap :]
-        self._oldest = time.monotonic() if self._pending else None
-        return batch
+        return [self._pending.popleft()
+                for _ in range(min(self._cap, len(self._pending)))]
 
     def _record_flush(self, batch: list) -> None:
         self.flushes += 1
@@ -252,12 +253,12 @@ class AsyncRetrievalEngine:
                 # batch is full -> cut now; otherwise wait out the oldest
                 # request's delay budget, waking early if the cap fills.
                 # Re-check `self._pending` each wake: a concurrent manual
-                # flush() may have drained the queue (then _oldest is None).
+                # flush() may have drained the queue entirely.
                 while (
                     self._pending
                     and len(self._pending) < self._cap
                     and not self._shutdown
-                    and (left := self._oldest + self.max_delay - time.monotonic()) > 0
+                    and (left := self._pending[0][3] + self.max_delay - time.monotonic()) > 0
                 ):
                     self._cond.wait(timeout=left)
                 batch = self._take_batch()

@@ -168,7 +168,8 @@ class TestWorkerThread:
     def test_worker_survives_concurrent_manual_flush(self):
         """A manual flush() that drains the queue while the worker sits in
         its delay wait must not kill the worker (regression: the wake-up
-        re-evaluation read self._oldest, which the flush reset to None)."""
+        re-evaluation once read a separate oldest-enqueue clock, which the
+        flush reset to None; now it re-derives from _pending[0])."""
         _, eng, q, hist = _mk(max_delay_ms=200.0)
         with q:
             f1 = q.submit(np.asarray([0, 1], np.int32))

@@ -20,16 +20,23 @@ queue serializes programs anyway, and `RetrievalEngine` already splits a
 flush into per-(batch, items)-bucket programs, so the worker's only job is
 deciding WHEN to cut a batch. The host FETCH of results, however, is
 transport-bound, not device-bound (on remoted runtimes each value fetch is
-a full round trip), so it runs on a separate resolver thread: the worker
-dispatches flush N+1 while flush N's results stream back, with
-`max_in_flight` plans as backpressure — and the engine starts every
-leaf's device->host copy asynchronously at dispatch time, so the resolver
-drains transfers already in flight instead of paying one round trip per
+a full round trip), so it runs on a POOL of resolver threads: the worker
+dispatches flush N+1 while earlier flushes' results stream back, with a
+`max_in_flight` semaphore as backpressure — and the engine starts every
+leaf's device->host copy asynchronously at dispatch time, so resolvers
+drain transfers already in flight instead of paying one round trip per
 leaf per bucket group (the measured ~170 QPS ceiling of the serial-fetch
-design; benchmarks/slo_bench.py + transport_micro.py, RESULTS r4). All
-request/response bookkeeping is host-side numpy; results are per-request
-slices of the engine's stacked output, so a submit()ed request returns
-exactly what `retrieve_many` would return for it (tests/test_queue.py).
+design; benchmarks/slo_bench.py + transport_micro.py, RESULTS r4). The
+pool matters because one resolver is a SERIAL ~30-40 ms/flush transport
+stage: with the in-flight window kept full, every request waited
+max_in_flight x that stage (~155 ms of pure pipeline queueing at low
+load, SLO v3) even though the underlying transfers already overlap.
+Flushes are independent (finalize_many is a pure function of its plan;
+futures settle per-request), so resolvers drain them concurrently and
+out-of-order settles are harmless. All request/response bookkeeping is
+host-side numpy; results are per-request slices of the engine's stacked
+output, so a submit()ed request returns exactly what `retrieve_many`
+would return for it (tests/test_queue.py).
 """
 
 from __future__ import annotations
@@ -57,6 +64,11 @@ class AsyncRetrievalEngine:
       autostart: start the worker thread immediately. Tests (and callers
         that want deterministic batching) can pass False and call
         `flush()` manually.
+      max_in_flight: backpressure — at most this many flushes dispatched
+        but not yet resolved (bounds device result buffers held alive).
+      resolver_threads: size of the host-fetch pool; defaults to
+        max_in_flight (one resolver per in-flight slot, so every
+        in-flight flush's transfers drain concurrently).
     """
 
     def __init__(
@@ -65,6 +77,7 @@ class AsyncRetrievalEngine:
         max_delay_ms: float = 5.0,
         autostart: bool = True,
         max_in_flight: int = 4,
+        resolver_threads: Optional[int] = None,
     ):
         self.engine = engine
         self.max_delay = max_delay_ms / 1000.0
@@ -79,10 +92,20 @@ class AsyncRetrievalEngine:
         self._pending: deque = deque()
         self._shutdown = False
         self._worker: Optional[threading.Thread] = None
-        # dispatched-but-unfetched flush plans; put() blocks at
-        # max_in_flight, which is the dispatch worker's backpressure
-        self._resolve_q: _queue.Queue = _queue.Queue(maxsize=max(1, max_in_flight))
-        self._resolver: Optional[threading.Thread] = None
+        # Backpressure: at most max_in_flight flushes dispatched but not
+        # yet settled. A semaphore (acquired before dispatch, released
+        # after settle/fail) keeps that invariant exact under a resolver
+        # POOL — a bounded queue alone would stop counting a flush the
+        # moment a resolver picked it up.
+        self._in_flight = max(1, max_in_flight)
+        self._inflight_sem = threading.BoundedSemaphore(self._in_flight)
+        self._resolve_q: _queue.Queue = _queue.Queue()
+        # one resolver per in-flight slot by default: each in-flight flush
+        # can drain its (already started) transfers concurrently
+        self._n_resolvers = (
+            self._in_flight if resolver_threads is None else max(1, resolver_threads)
+        )
+        self._resolvers: list = []
         # observability
         self.flushes = 0
         self.requests = 0
@@ -103,22 +126,27 @@ class AsyncRetrievalEngine:
                 target=self._run, name="rqvae-serving-queue", daemon=True
             )
             self._worker.start()
-        if self._resolver is None or not self._resolver.is_alive():
-            self._resolver = threading.Thread(
-                target=self._run_resolver, name="rqvae-serving-resolver", daemon=True
+        self._resolvers = [t for t in self._resolvers if t.is_alive()]
+        for i in range(len(self._resolvers), self._n_resolvers):
+            t = threading.Thread(
+                target=self._run_resolver, name=f"rqvae-serving-resolver-{i}", daemon=True
             )
-            self._resolver.start()
+            t.start()
+            self._resolvers.append(t)
 
     def close(self) -> None:
-        """Drain the queue, then stop the worker and resolver."""
+        """Drain the queue, then stop the worker and resolvers."""
         with self._cond:
             self._shutdown = True
             self._cond.notify_all()
         if self._worker is not None and self._worker.is_alive():
             self._worker.join()
-        if self._resolver is not None and self._resolver.is_alive():
-            self._resolve_q.put(None)  # sentinel AFTER the worker's last put
-            self._resolver.join()
+        live = [t for t in self._resolvers if t.is_alive()]
+        for _ in live:
+            self._resolve_q.put(None)  # sentinels AFTER the worker's last put
+        for t in live:
+            t.join()
+        self._resolvers = []
         # a close() without a worker (autostart=False) still drains
         self.flush()
 
@@ -187,19 +215,21 @@ class AsyncRetrievalEngine:
 
     def _dispatch_async(self, batch: list) -> None:
         """Worker path: enqueue the bucket programs and hand the un-fetched
-        plan to the resolver thread — the transport-bound host fetch
+        plan to the resolver pool — the transport-bound host fetch
         overlaps the next flush's dispatch."""
         if not batch:
             return
         self._record_flush(batch)
+        self._inflight_sem.acquire()  # blocks at max_in_flight unsettled
         try:
             plan = self.engine.retrieve_many_device(
                 [b[0] for b in batch], [b[1] for b in batch]
             )
         except Exception as e:
+            self._inflight_sem.release()
             self._fail(batch, e)
             return
-        self._resolve_q.put((batch, plan))  # blocks at max_in_flight
+        self._resolve_q.put((batch, plan))
 
     def _run_resolver(self) -> None:
         while True:
@@ -212,6 +242,8 @@ class AsyncRetrievalEngine:
             except Exception as e:
                 self._fail(batch, e)
                 continue
+            finally:
+                self._inflight_sem.release()
             self._settle(batch, res)
 
     def stats(self) -> dict:

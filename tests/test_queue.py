@@ -165,6 +165,72 @@ class TestWorkerThread:
             f2 = q.submit(np.asarray([2, 3], np.int32))
             assert f2.result(timeout=10) is not None  # resolver still alive
 
+    def test_resolver_pool_settles_out_of_order(self):
+        """The host-fetch stage is a POOL: a slow flush must not serialize
+        later flushes behind it (one serial resolver was a ~30-40 ms/flush
+        transport stage that pipeline-queued every request, SLO v3). Flush
+        1's finalize parks until flush 2 has fully settled — only
+        concurrent resolvers can do that."""
+        import threading
+
+        _, eng, q, _ = _mk(max_delay_ms=1.0, max_in_flight=4)
+        real = eng.finalize_many
+        gate = threading.Event()
+        first = threading.Event()
+
+        def slow_finalize(n, plan, _real=real):
+            if not first.is_set():
+                first.set()
+                assert gate.wait(timeout=30), "later flush never settled concurrently"
+            return _real(n, plan)
+
+        eng.finalize_many = slow_finalize
+        with q:
+            f1 = q.submit(np.asarray([0, 1], np.int32))
+            t0 = time.time()
+            while q.flushes < 1 and time.time() - t0 < 10:
+                time.sleep(0.005)  # make sure f1's flush is cut before f2 arrives
+            f2 = q.submit(np.asarray([2, 3], np.int32))
+            assert f2.result(timeout=30) is not None  # settles while f1 is parked
+            gate.set()
+            assert f1.result(timeout=30) is not None
+
+    def test_max_in_flight_backpressure_is_exact(self):
+        """At most max_in_flight flushes may be dispatched-but-unsettled,
+        even with more resolver threads than slots: the semaphore, not the
+        resolve queue, is the bound (a bounded queue stops counting a flush
+        the moment a resolver picks it up)."""
+        import threading
+
+        _, eng, q, _ = _mk(max_delay_ms=1.0, max_in_flight=1, resolver_threads=2)
+        gate = threading.Event()
+        real_fin = eng.finalize_many
+        real_dev = eng.retrieve_many_device
+        dev_calls = []
+
+        def blocking_finalize(n, plan, _real=real_fin):
+            assert gate.wait(timeout=30)
+            return _real(n, plan)
+
+        def counting_dev(*a, **k):
+            dev_calls.append(1)
+            return real_dev(*a, **k)
+
+        eng.finalize_many = blocking_finalize
+        eng.retrieve_many_device = counting_dev
+        with q:
+            f1 = q.submit(np.asarray([0, 1], np.int32))
+            t0 = time.time()
+            while not dev_calls and time.time() - t0 < 10:
+                time.sleep(0.005)
+            f2 = q.submit(np.asarray([2, 3], np.int32))
+            time.sleep(0.3)  # worker must be parked at the in-flight semaphore
+            assert len(dev_calls) == 1
+            gate.set()
+            assert f1.result(timeout=30) is not None
+            assert f2.result(timeout=30) is not None
+        assert len(dev_calls) == 2
+
     def test_worker_survives_concurrent_manual_flush(self):
         """A manual flush() that drains the queue while the worker sits in
         its delay wait must not kill the worker (regression: the wake-up

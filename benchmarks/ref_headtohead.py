@@ -39,8 +39,12 @@ import numpy as np
 REFERENCE_DIR = "/root/reference"
 
 # fixture + shared hyperparameters (identical on both sides)
-VAE = dict(input_dim=64, embed_dim=16, hidden_dims=[128, 64], codebook_size=64,
+VAE = dict(input_dim=64, embed_dim=16, hidden_dims=[128, 64], codebook_size=256,
            n_layers=3, commitment_weight=0.25)
+# codebook_size 256 (the flagship K) keeps the sampled-candidate protocol a
+# GENUINE subset: both sides draw n_cands = min(64, K) per level
+# (reference model.py:314; ours retrieval.py n_candidates=64), so K=64
+# would make "sampled" exhaustive and indistinguishable from deterministic.
 DEC = dict(t5_d_model=128, t5_num_heads=6, t5_d_ff=1024, t5_num_layers=4,
            top_k_for_generation=10)
 S1_LR, S1_WD = 1e-3, 1e-4

@@ -188,6 +188,30 @@ class TestGeneration:
                 if logp[b, j] > -1e8:
                     assert tuple(ids[b, j]) in existing
 
+    def test_sampled_mode_diverges_from_deterministic_on_flat_distributions(self):
+        """With untrained (near-flat) per-level distributions and
+        n_candidates << K, the sampled protocol must actually sample:
+        different outputs from the deterministic exhaustive top-k, and
+        different outputs across rng keys. (On a TRAINED peaked model the
+        two modes can legitimately coincide — sampled scores are the
+        unperturbed log-probs, so whenever the exact top-k survive the
+        candidate draw the ranking is identical; see RESULTS.md
+        head-to-head — this pins that the divergence exists where it
+        should.)"""
+        det_model, params, batch, corpus = _init_model()
+        # n_candidates must be < K: n_cands = min(max(n_candidates, top_k), K),
+        # so n_candidates >= K degenerates to exhaustive (identical to
+        # deterministic by construction — scores are unperturbed log-probs)
+        cfg = RetrievalConfig(**{**CFG.__dict__, "sample_candidates": True, "n_candidates": 5})
+        samp_model = EncoderDecoderRetrievalModel(cfg)
+        table = build_prefix_table(jnp.asarray(corpus), K)
+        det = np.asarray(make_generate_fn(det_model)(params, batch, table).sem_ids)
+        gen_s = make_generate_fn(samp_model)
+        s0 = np.asarray(gen_s(params, batch, table, jax.random.PRNGKey(0)).sem_ids)
+        s1 = np.asarray(gen_s(params, batch, table, jax.random.PRNGKey(1)).sem_ids)
+        assert (s0 != det).any(), "sampled mode reproduced exhaustive top-k exactly"
+        assert (s0 != s1).any(), "sampled mode ignored the rng key"
+
     def test_log_probas_match_model_scores(self):
         # for the top beam, recompute log p(tuple | context) by teacher forcing
         model, params, batch, corpus = _init_model()

@@ -139,13 +139,13 @@ class TestWorkerThread:
             eng.retrieve_many_device = None  # TypeError inside _dispatch_async
             f1 = q.submit(np.asarray([0, 1], np.int32))
             try:
-                f1.result(timeout=10)
+                f1.result(timeout=60)
                 raise AssertionError("future should carry the dispatch failure")
             except TypeError:
                 pass
             eng.retrieve_many_device = real
             f2 = q.submit(np.asarray([2, 3], np.int32))
-            assert f2.result(timeout=10) is not None  # worker still alive
+            assert f2.result(timeout=60) is not None  # worker still alive
 
     def test_async_fetch_failure_propagates_and_resolver_survives(self):
         """A failure in the host FETCH (finalize_many, resolver thread) must
@@ -157,13 +157,13 @@ class TestWorkerThread:
             eng.finalize_many = None  # TypeError inside _run_resolver
             f1 = q.submit(np.asarray([0, 1], np.int32))
             try:
-                f1.result(timeout=10)
+                f1.result(timeout=60)
                 raise AssertionError("future should carry the fetch failure")
             except TypeError:
                 pass
             eng.finalize_many = real
             f2 = q.submit(np.asarray([2, 3], np.int32))
-            assert f2.result(timeout=10) is not None  # resolver still alive
+            assert f2.result(timeout=60) is not None  # resolver still alive
 
     def test_resolver_pool_settles_out_of_order(self):
         """The host-fetch stage is a POOL: a slow flush must not serialize
@@ -241,7 +241,7 @@ class TestWorkerThread:
             f1 = q.submit(np.asarray([0, 1], np.int32))
             time.sleep(0.05)  # worker is now waiting out the delay budget
             q.flush()  # drain from the caller's thread
-            assert f1.result(timeout=5) is not None
+            assert f1.result(timeout=60) is not None
             time.sleep(0.3)  # let the worker wake from its stale timeout
             f2 = q.submit(np.asarray([2, 3], np.int32))
-            assert f2.result(timeout=5) is not None  # worker still alive
+            assert f2.result(timeout=60) is not None  # worker still alive

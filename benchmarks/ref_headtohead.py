@@ -31,6 +31,9 @@ import os
 import sys
 import time
 
+# NOTE: this module's TOP LEVEL must stay import-light (no torch / jax /
+# reference imports here) — tests/test_headtohead_mirror.py exec's it to
+# reach _tokenize_np, so anything heavy here loads into every suite run.
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("TORCHDYNAMO_DISABLE", "1")  # reference wraps forward in torch.compile
 

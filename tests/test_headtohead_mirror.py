@@ -14,15 +14,22 @@ import numpy as np
 from rqvae_tpu.data.schemas import SeqBatch
 from rqvae_tpu.tokenizer.semids import _tokenize_from_cache
 
-_spec = importlib.util.spec_from_file_location(
-    "ref_headtohead",
-    os.path.join(os.path.dirname(__file__), "..", "benchmarks", "ref_headtohead.py"),
-)
-_h2h = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_h2h)
+def _load_h2h():
+    """Load the harness module lazily (inside the test, not at collection
+    time): its top level mutates process state (sys.path insert, env var),
+    and any future heavy top-level import added there would otherwise load
+    into every suite run (ADVICE r4)."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_headtohead",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks", "ref_headtohead.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def test_tokenize_np_matches_tokenizer_lookup():
+    _h2h = _load_h2h()
     rng = np.random.RandomState(0)
     N, D, B, Nseq = 50, 4, 7, 5
     table = rng.randint(0, 32, (N, D)).astype(np.int64)

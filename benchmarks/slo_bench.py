@@ -14,8 +14,17 @@ the axon tunnel (RTT ~5-30 ms, minute-scale jitter) — latencies INCLUDE
 transport, so directly-attached deployments sit strictly below these
 numbers.
 
+Overload admission control (SLO v5): pass --depth N and/or --deadline-ms D
+to bound the queue — past the saturation knee excess load is REJECTED at
+submit (QueueOverloadedError) or SHED at batch-cut (DeadlineExceededError)
+instead of stretching every admitted request's latency without limit
+(SLO v4 measured p50 34 s at 4x the knee, unbounded). Reported per load
+point: goodput (served requests/s), reject/shed rates, and latency
+percentiles over ADMITTED-AND-SERVED requests.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/slo_bench.py \
-    [--loads 250,1000,2000,4000] [--seconds 15] [--max-delay-ms 5]
+    [--loads 250,1000,2000,4000] [--seconds 15] [--max-delay-ms 5] \
+    [--depth 256] [--deadline-ms 500]
 """
 
 import json
@@ -122,13 +131,26 @@ def run_load_point(queue, rate_qps: float, seconds: float, rng) -> dict:
         else:
             behind_max = max(behind_max, now - next_t)
         futs.append(queue.submit(hists[i]))
+    from rqvae_tpu.serving.queue import DeadlineExceededError, QueueOverloadedError
+
+    served = 0
     for f in futs:
-        f.result(timeout=300)
+        try:
+            f.result(timeout=300)
+            served += 1
+        except (QueueOverloadedError, DeadlineExceededError):
+            pass  # typed overload outcomes; counted via stats()
     t_done = time.monotonic()
     s = queue.stats()
     out = {
         "offered_qps": rate_qps,
         "sustained_qps": n / (t_done - t_start),
+        # goodput: requests actually served (admitted and not shed) per
+        # second of wall clock — the SLO v5 headline under overload
+        "goodput_qps": served / (t_done - t_start),
+        "reject_rate": s["rejected"] / max(n, 1),
+        "shed_rate": s["shed"] / max(n, 1),
+        # percentiles cover ADMITTED-AND-SERVED requests only
         "p50_ms": s.get("latency_p50_s", float("nan")) * 1e3,
         "p95_ms": s.get("latency_p95_s", float("nan")) * 1e3,
         "p99_ms": s.get("latency_p99_s", float("nan")) * 1e3,
@@ -145,12 +167,18 @@ def main():
     loads = [250, 1000, 2000, 4000]
     seconds = 15.0
     max_delay_ms = 5.0
+    depth = None
+    deadline_ms = None
     if "--loads" in argv:
         loads = [float(x) for x in argv[argv.index("--loads") + 1].split(",")]
     if "--seconds" in argv:
         seconds = float(argv[argv.index("--seconds") + 1])
     if "--max-delay-ms" in argv:
         max_delay_ms = float(argv[argv.index("--max-delay-ms") + 1])
+    if "--depth" in argv:
+        depth = int(argv[argv.index("--depth") + 1])
+    if "--deadline-ms" in argv:
+        deadline_ms = float(argv[argv.index("--deadline-ms") + 1])
 
     import jax
 
@@ -164,19 +192,25 @@ def main():
         # fresh queue per point: stats() windows must not mix loads
         from rqvae_tpu.serving.queue import AsyncRetrievalEngine
 
-        queue = AsyncRetrievalEngine(eng, max_delay_ms=max_delay_ms, autostart=False)
+        queue = AsyncRetrievalEngine(
+            eng, max_delay_ms=max_delay_ms, autostart=False,
+            max_queue_depth=depth, deadline_ms=deadline_ms,
+        )
         r = run_load_point(queue, rate, seconds, rng)
         queue.close()
         rows.append(r)
         print(json.dumps(r), flush=True)
 
-    print(f"\nmax_delay_ms={max_delay_ms}; lognormal(len) median 20, max {MAX_ITEMS}; "
+    print(f"\nmax_delay_ms={max_delay_ms}; depth={depth}; deadline_ms={deadline_ms}; "
+          f"lognormal(len) median 20, max {MAX_ITEMS}; "
           f"corpus {CORPUS}; tunnel transport INCLUDED")
-    print("| offered QPS | sustained | p50 ms | p95 ms | p99 ms | mean batch |")
-    print("|---|---|---|---|---|---|")
+    print("| offered QPS | goodput | reject% | shed% | p50 ms | p95 ms | p99 ms | mean batch |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['offered_qps']:.0f} | {r['sustained_qps']:.0f} | {r['p50_ms']:.1f} "
-              f"| {r['p95_ms']:.1f} | {r['p99_ms']:.1f} | {r['mean_batch']:.1f} |")
+        print(f"| {r['offered_qps']:.0f} | {r['goodput_qps']:.0f} "
+              f"| {100 * r['reject_rate']:.1f} | {100 * r['shed_rate']:.1f} "
+              f"| {r['p50_ms']:.1f} | {r['p95_ms']:.1f} | {r['p99_ms']:.1f} "
+              f"| {r['mean_batch'] or float('nan'):.1f} |")
     print(json.dumps({"rows": rows}))
 
 

@@ -54,6 +54,24 @@ import numpy as np
 from rqvae_tpu.serving.engine import RetrievalEngine
 
 
+class QueueOverloadedError(RuntimeError):
+    """Admission rejected: the pending queue is at max_queue_depth.
+
+    Overload semantics (SLO v5): past saturation a bounded queue rejects
+    excess load IMMEDIATELY at submit() time instead of admitting it into
+    an ever-deeper backlog where every request 'succeeds' uselessly late
+    (SLO v4 measured p50 34 s at 4x past the knee with unbounded
+    admission). The future returned by submit() resolves exceptionally
+    with this error; the queue itself stays healthy."""
+
+
+class DeadlineExceededError(TimeoutError):
+    """Shed after admission: the request was still queued when its
+    deadline elapsed, so it was dropped at batch-cut time rather than
+    dispatched — device time is never spent on work that would complete
+    past its deadline."""
+
+
 class AsyncRetrievalEngine:
     """Micro-batching request queue over a `RetrievalEngine`.
 
@@ -69,6 +87,18 @@ class AsyncRetrievalEngine:
       resolver_threads: size of the host-fetch pool; defaults to
         max_in_flight (one resolver per in-flight slot, so every
         in-flight flush's transfers drain concurrently).
+      max_queue_depth: admission control — at most this many requests
+        pending (queued, not yet dispatched). A submit() past the bound
+        returns a Future already failed with QueueOverloadedError; the
+        caller sees the rejection immediately instead of an unbounded
+        wait. None = admit everything (legacy behavior; p50 then grows
+        with backlog depth without limit past the saturation knee).
+      deadline_ms: default per-request deadline measured from enqueue.
+        A request still PENDING when its deadline elapses is shed at
+        batch-cut time (future fails with DeadlineExceededError) rather
+        than dispatched, so the device never computes results nobody can
+        use. Overridable per request via submit(deadline_ms=...).
+        None = no deadline.
     """
 
     def __init__(
@@ -78,13 +108,18 @@ class AsyncRetrievalEngine:
         autostart: bool = True,
         max_in_flight: int = 4,
         resolver_threads: Optional[int] = None,
+        max_queue_depth: Optional[int] = None,
+        deadline_ms: Optional[float] = None,
     ):
         self.engine = engine
         self.max_delay = max_delay_ms / 1000.0
+        self.max_queue_depth = max_queue_depth
+        self.default_deadline = None if deadline_ms is None else deadline_ms / 1000.0
         self._cap = engine.batch_buckets[-1]
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
-        # (history, user_id, Future, enqueue_time); deque so a deep backlog
+        # (history, user_id, Future, enqueue_time, deadline_abs|None);
+        # deque so a deep backlog
         # doesn't pay O(n) list re-slicing per flush. The delay bound always
         # derives from _pending[0]'s TRUE enqueue time — no separate
         # "oldest" clock that a flush would reset to now() (which silently
@@ -109,6 +144,8 @@ class AsyncRetrievalEngine:
         # observability
         self.flushes = 0
         self.requests = 0
+        self.rejected = 0  # admission-control rejects (QueueOverloadedError)
+        self.shed = 0  # post-admission deadline sheds (DeadlineExceededError)
         # end-to-end latency (enqueue -> future resolved) of the most
         # recent requests, seconds; bounded so long-running services don't
         # grow memory. Read through stats().
@@ -158,28 +195,68 @@ class AsyncRetrievalEngine:
 
     # ---- submission ----
 
-    def submit(self, history, user_id: int = 0) -> Future:
+    def submit(self, history, user_id: int = 0, deadline_ms: Optional[float] = None) -> Future:
         """Enqueue one request (1-D item-id history). Returns a Future
         resolving to a per-request RetrievalResult (arrays of shape [k],
         [k, L], [k]) — identical to that request's row out of
-        `RetrievalEngine.retrieve_many`."""
+        `RetrievalEngine.retrieve_many`.
+
+        Overload: if max_queue_depth is set and the pending queue is full,
+        the returned Future is ALREADY failed with QueueOverloadedError —
+        rejection is signalled through the same channel as every other
+        outcome, so callers/load-generators handle it uniformly.
+        deadline_ms overrides the queue-level default for this request."""
         h = np.asarray(history, np.int32)
         assert h.ndim == 1, "submit() takes a single 1-D history"
         fut: Future = Future()
+        dl = self.default_deadline if deadline_ms is None else deadline_ms / 1000.0
+        now = time.monotonic()
         with self._cond:
             if self._shutdown:
                 raise RuntimeError("AsyncRetrievalEngine is closed")
-            self._pending.append((h, int(user_id), fut, time.monotonic()))
             self.requests += 1
+            if (
+                self.max_queue_depth is not None
+                and len(self._pending) >= self.max_queue_depth
+            ):
+                self.rejected += 1
+                fut.set_exception(
+                    QueueOverloadedError(
+                        f"queue at max_queue_depth={self.max_queue_depth}"
+                    )
+                )
+                return fut
+            self._pending.append((h, int(user_id), fut, now,
+                                  None if dl is None else now + dl))
             self._cond.notify_all()
         return fut
 
     # ---- batching / dispatch ----
 
-    def _take_batch(self) -> list:
-        """Under the lock: pop up to `cap` requests (callers decide when)."""
-        return [self._pending.popleft()
-                for _ in range(min(self._cap, len(self._pending)))]
+    def _take_batch(self) -> tuple:
+        """Under the lock: pop up to `cap` LIVE requests. Returns
+        (batch, expired): expired requests (deadline already passed at cut
+        time) are popped alongside and must be failed by the caller
+        OUTSIDE the lock via _fail_expired (set_exception runs
+        done-callbacks in the calling thread; a callback that re-submits
+        would deadlock on the condition lock)."""
+        batch, expired = [], []
+        now = time.monotonic()
+        while self._pending and len(batch) < self._cap:
+            item = self._pending.popleft()
+            if item[4] is not None and now > item[4]:
+                expired.append(item)
+            else:
+                batch.append(item)
+        self.shed += len(expired)
+        return batch, expired
+
+    @staticmethod
+    def _fail_expired(expired: list) -> None:
+        for item in expired:
+            item[2].set_exception(
+                DeadlineExceededError("request shed: deadline elapsed while queued")
+            )
 
     def _record_flush(self, batch: list) -> None:
         self.flushes += 1
@@ -196,7 +273,7 @@ class AsyncRetrievalEngine:
             self._latencies.extend(done - b[3] for b in batch)
 
     def _fail(self, batch: list, e: Exception) -> None:
-        for _, _, f, _ in batch:  # resolve every waiter, never deadlock
+        for _, _, f, *_rest in batch:  # resolve every waiter, never deadlock
             if not f.done():
                 f.set_exception(e)
 
@@ -253,7 +330,16 @@ class AsyncRetrievalEngine:
         with self._lock:
             lats = np.asarray(self._latencies, np.float64)
             sizes = np.asarray(self._batch_sizes, np.float64)
-        out = {"requests": self.requests, "flushes": self.flushes}
+        out = {
+            "requests": self.requests,
+            "flushes": self.flushes,
+            # admission-control outcomes (SLO v5): latency percentiles below
+            # cover ADMITTED-AND-SERVED requests only — rejected/shed ones
+            # fail fast and are counted here instead
+            "rejected": self.rejected,
+            "shed": self.shed,
+            "admitted": self.requests - self.rejected,
+        }
         if lats.size:
             p50, p95, p99 = np.percentile(lats, [50, 95, 99])
             out.update(latency_p50_s=float(p50), latency_p95_s=float(p95),
@@ -271,7 +357,8 @@ class AsyncRetrievalEngine:
             with self._cond:
                 if not self._pending:
                     return served
-                batch = self._take_batch()
+                batch, expired = self._take_batch()
+            self._fail_expired(expired)
             served += len(batch)
             self._dispatch(batch)
 
@@ -293,6 +380,7 @@ class AsyncRetrievalEngine:
                     and (left := self._pending[0][3] + self.max_delay - time.monotonic()) > 0
                 ):
                     self._cond.wait(timeout=left)
-                batch = self._take_batch()
+                batch, expired = self._take_batch()
+            self._fail_expired(expired)
             self._dispatch_async(batch)
         self.flush()  # drain whatever arrived before close()

@@ -245,3 +245,92 @@ class TestWorkerThread:
             time.sleep(0.3)  # let the worker wake from its stale timeout
             f2 = q.submit(np.asarray([2, 3], np.int32))
             assert f2.result(timeout=60) is not None  # worker still alive
+
+
+class TestAdmissionControl:
+    """Overload semantics (SLO v5, VERDICT r4 Next #4): bounded queue depth
+    rejects at submit(); deadlines shed still-queued requests at batch-cut
+    time. All failures are typed and the queue stays healthy after."""
+
+    def test_overload_rejects_with_typed_error(self):
+        from rqvae_tpu.serving.queue import QueueOverloadedError
+
+        _, eng, q, hist = _mk(autostart=False, max_queue_depth=3)
+        h = np.asarray(hist[0][:4], np.int32)
+        futs = [q.submit(h) for _ in range(5)]
+        # rejects resolve IMMEDIATELY (no flush needed), admits stay pending
+        for f in futs[:3]:
+            assert not f.done()
+        for f in futs[3:]:
+            assert f.done()
+            try:
+                f.result(timeout=0)
+                assert False, "expected QueueOverloadedError"
+            except QueueOverloadedError:
+                pass
+        assert q.flush() == 3
+        for f in futs[:3]:
+            assert f.result(timeout=0).item_ids.shape == (5,)
+        s = q.stats()
+        assert s["rejected"] == 2 and s["admitted"] == 3 and s["requests"] == 5
+        # queue stays healthy: depth freed by the flush admits again
+        f = q.submit(h)
+        assert q.flush() == 1
+        assert f.result(timeout=0).item_ids.shape == (5,)
+
+    def test_deadline_sheds_queued_requests(self):
+        from rqvae_tpu.serving.queue import DeadlineExceededError
+
+        _, eng, q, hist = _mk(autostart=False, deadline_ms=20.0)
+        h = np.asarray(hist[0][:4], np.int32)
+        expired = [q.submit(h) for _ in range(2)]
+        time.sleep(0.06)  # both deadlines elapse while queued
+        fresh = q.submit(h)  # enqueued now: 20 ms budget still live
+        assert q.flush() == 1  # only the fresh request is dispatched
+        for f in expired:
+            try:
+                f.result(timeout=0)
+                assert False, "expected DeadlineExceededError"
+            except DeadlineExceededError:
+                pass
+        assert fresh.result(timeout=0).item_ids.shape == (5,)
+        assert q.stats()["shed"] == 2
+
+    def test_per_request_deadline_override(self):
+        from rqvae_tpu.serving.queue import DeadlineExceededError
+
+        _, eng, q, hist = _mk(autostart=False)  # no queue-level deadline
+        h = np.asarray(hist[0][:4], np.int32)
+        tight = q.submit(h, deadline_ms=1.0)
+        loose = q.submit(h)
+        time.sleep(0.02)
+        assert q.flush() == 1
+        try:
+            tight.result(timeout=0)
+            assert False, "expected DeadlineExceededError"
+        except DeadlineExceededError:
+            pass
+        assert loose.result(timeout=0).item_ids.shape == (5,)
+
+    def test_worker_path_reject_keeps_serving(self):
+        """With the worker live and depth=0 every submit rejects instantly,
+        and re-raising the bound (depth=None path) serves normally — the
+        reject path never wedges the worker/resolver threads."""
+        from rqvae_tpu.serving.queue import QueueOverloadedError
+
+        _, eng, q, hist = _mk(autostart=True, max_queue_depth=0, max_delay_ms=1.0)
+        h = np.asarray(hist[0][:4], np.int32)
+        try:
+            f = q.submit(h)
+            try:
+                f.result(timeout=60)
+                assert False, "expected QueueOverloadedError"
+            except QueueOverloadedError:
+                pass
+            q.max_queue_depth = None  # lift the bound: worker serves again
+            f2 = q.submit(h)
+            assert f2.result(timeout=60).item_ids.shape == (5,)
+            s = q.stats()
+            assert s["rejected"] == 1 and s["admitted"] == 1
+        finally:
+            q.close()

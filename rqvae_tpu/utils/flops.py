@@ -27,12 +27,14 @@ from __future__ import annotations
 from typing import Sequence
 
 # Peak dense matmul throughput per chip, FLOP/s. v5e: 197 TFLOP/s bf16
-# (394 TOPS int8); f32 matmuls run as bf16x3 passes on the MXU so their
-# usable peak is ~1/3 of bf16 — but our train steps are bf16-compute, so
-# MFU is reported against the bf16 peak (the honest denominator).
+# (394 TOPS int8). NOTE: JAX's DEFAULT matmul precision on TPU executes
+# f32 operands at the bf16 MXU rate (single-pass, f32 accumulate), so the
+# honest MFU denominator for default-precision "f32" training is ALSO the
+# bf16 peak; the f32_highest entry (three bf16 passes) applies only when
+# jax_default_matmul_precision is explicitly "highest"/"float32".
 PEAK_FLOPS = {
     "tpu_v5e_bf16": 197e12,
-    "tpu_v5e_f32": 197e12 / 3,
+    "tpu_v5e_f32_highest": 197e12 / 3,
 }
 
 

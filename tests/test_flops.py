@@ -39,7 +39,7 @@ def test_retrieval_fwd_flops_hand_check():
 def test_mfu():
     # 197e12 FLOPs in 1 s at bf16 peak = MFU 1.0
     assert abs(F.mfu(197e12, 1.0, "tpu_v5e_bf16") - 1.0) < 1e-12
-    assert abs(F.mfu(197e12 / 3, 1.0, "tpu_v5e_f32") - 1.0) < 1e-12
+    assert abs(F.mfu(197e12 / 3, 1.0, "tpu_v5e_f32_highest") - 1.0) < 1e-12
 
 
 def test_amazon_stage2_magnitude():

@@ -315,6 +315,11 @@ def train(
             )
             logger.push_rolling({"total_loss": log["total_loss"]})
             log["rolling_total_loss"] = logger.rolling_means().get("total_loss", 0.0)
+            # current schedule value (pure fn of the update count; reference
+            # logs it via wandb in train_decoder.py:206-212)
+            log["learning_rate"] = float(
+                inverse_sqrt_schedule(learning_rate, warmup_steps)(it)
+            )
             logger.log(it, log, echo=is_main and (it + 1) % (log_every * 10) == 0)
             summary.update(log)
 

@@ -61,6 +61,54 @@ def main():
     results["dedup_counts_from_keys"] = differential(
         lambda r: int(run_dedup(keys0, jnp.int32(r))))
 
+    # candidate v1: ONE fused lax.sort returns sorted keys AND the
+    # permutation (argsort then keys[order] pays a separate gather)
+    def dedup_v1(keys):
+        n = keys.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sorted_keys, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
+        idx = jnp.arange(n)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, idx, 0))
+        rank = (idx - seg_start).astype(jnp.int32)
+        return jnp.zeros(n, jnp.int32).at[order].set(rank)
+
+    # candidate v2: v1 but the inverse permutation via a SECOND sort
+    # instead of a scatter (XLA-TPU scatter vs vectorized sort)
+    def dedup_v2(keys):
+        n = keys.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sorted_keys, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
+        idx = jnp.arange(n)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, idx, 0))
+        rank = (idx - seg_start).astype(jnp.int32)
+        _, back = jax.lax.sort((order, rank), num_keys=1, is_stable=False)
+        return back
+
+    for name, fn in (("dedup_v1_fused_sort", dedup_v1),
+                     ("dedup_v2_sort_inverse", dedup_v2)):
+        @jax.jit
+        def run_v(keys, r, fn=fn):
+            def body(_, c):
+                d = fn(keys ^ (c & 0x7))
+                return jnp.max(d) + c
+            return jax.lax.fori_loop(0, r, body, jnp.int32(0))
+
+        results[name] = differential(lambda r: int(run_v(keys0, jnp.int32(r))))
+
+    # correctness guard for the candidates (CPU/TPU alike)
+    from rqvae_tpu.ops.dedup import dedup_counts_from_keys as base
+    ref = np.asarray(base(keys0))
+    for name, fn in (("v1", dedup_v1), ("v2", dedup_v2)):
+        got = np.asarray(jax.jit(fn)(keys0))
+        assert (got == ref).all(), f"{name} mismatch"
+    print("candidates match baseline output", flush=True)
+
     @jax.jit
     def run_sort2(keys, r):
         iota = jnp.arange(keys.shape[0], dtype=jnp.int32)

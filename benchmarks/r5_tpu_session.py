@@ -20,6 +20,11 @@ def run(script, argv):
 
 def main():
     run("benchmarks/dedup_sort_micro.py", [])
+    # SLO v5 (VERDICT r4 Next #4 "done" criterion): admitted-request
+    # latency bounded at 2x/4x past the ~1.9k QPS knee via depth+deadline.
+    run("benchmarks/slo_bench.py",
+        ["--loads", "1000,2000,4000,8000", "--seconds", "12",
+         "--depth", "256", "--deadline-ms", "500"])
     run("benchmarks/flagship_seeds.py",
         ["--seeds", "0,1,2", "--out", "out/r5/flagship_seeds.json"])
 
